@@ -61,8 +61,12 @@ DEFAULTS: Dict[str, Any] = {
         "regression_range": [
             (0, 4), (4, 8), (8, 16), (16, 32), (32, 64), (64, 10000),
         ],
-        "input_dim_V": 2048,
-        "input_dim_A": 128,
+        # backbone input dims (= aligned feature dims out of Alignment)
+        "input_dim_V": 512,
+        "input_dim_A": 512,
+        # raw pre-extracted feature dims fed to the Alignment module
+        "raw_input_dim_V": 2048,
+        "raw_input_dim_A": 128,
         "n_head": 4,
         "embd_kernel_size": 3,
         "embd_dim": 512,

@@ -1,0 +1,299 @@
+"""Primitive masked sequence-modeling blocks (flax.linen, channels-last).
+
+TPU-first re-design of the reference primitives
+(`/root/reference/libs/modeling/blocks.py`): activations are (B, T, C) so the
+channel axis rides the 128-lane dimension; masks are (B, T) bool and applied
+multiplicatively (XLA fuses them into the surrounding convs/matmuls instead of
+materializing gather/scatter).
+
+Initialization matches the reference distributions:
+  * convs / dense: torch-default Kaiming-uniform, U(-1/sqrt(fan_in), +...)
+  * all biases zero (the reference zeroes conv biases at construction or via
+    backbone __init_weights__)
+  * channel LayerNorm: weight 1, bias 0
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masked import masked_conv1d_out_mask
+
+Array = jnp.ndarray
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Torch Conv1d/Linear default init: kaiming_uniform(a=sqrt(5)).
+
+    For a flax Conv kernel (k, in/groups, out) this is
+    U(-1/sqrt(in/groups * k), +1/sqrt(in/groups * k)); for a Dense kernel
+    (in, out), U(-1/sqrt(in), +1/sqrt(in)).
+    """
+    if len(shape) == 3:
+        fan_in = shape[0] * shape[1]
+    else:
+        fan_in = shape[0]
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def trunc_normal_init(stddev: float = 0.02) -> Callable:
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+def xavier_normal_init(key, shape, dtype=jnp.float32):
+    """Torch nn.init.xavier_normal_ for a Dense kernel (in, out)."""
+    fan_in, fan_out = shape[0], shape[-1]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class MaskedConv1D(nn.Module):
+    """1D conv that re-zeroes padded positions (blocks.py:8-61).
+
+    kernel_size must be odd with padding k//2, so output length is T/stride.
+    The mask is downsampled by taking every stride-th element (equivalent to
+    the reference's nearest interpolation).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array) -> Tuple[Array, Array]:
+        assert self.kernel_size % 2 == 1
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=self.kernel_size // 2,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        out_mask = masked_conv1d_out_mask(mask, self.stride)
+        y = y * out_mask[..., None].astype(y.dtype)
+        return y, out_mask
+
+
+class ChannelLayerNorm(nn.Module):
+    """Affine LayerNorm over the channel (last) axis, biased variance
+    (blocks.py:64-103). eps=1e-5."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        res = x - mu
+        sigma = jnp.mean(res * res, axis=-1, keepdims=True)
+        out = res * jax.lax.rsqrt(sigma + self.eps)
+        return out * weight + bias
+
+
+def drop_path(x: Array, drop_prob: float, train: bool, rng) -> Array:
+    """Stochastic depth per sample (blocks.py:348-361)."""
+    if drop_prob == 0.0 or not train:
+        return x
+    keep_prob = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, x.dtype))
+    return x / keep_prob * mask
+
+
+class AffineDropPath(nn.Module):
+    """Per-channel learnable scale (init 1e-4) + stochastic depth
+    (blocks.py:375-391)."""
+
+    num_dim: int
+    drop_prob: float = 0.0
+    init_scale_value: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        scale = self.param(
+            "scale",
+            nn.initializers.constant(self.init_scale_value),
+            (1, 1, self.num_dim),
+        )
+        x = scale * x
+        if self.drop_prob > 0.0 and train:
+            rng = self.make_rng("droppath")
+            x = drop_path(x, self.drop_prob, train, rng)
+        return x
+
+
+class LearnableScale(nn.Module):
+    """Scalar multiplier with learnable value (blocks.py:326-344)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param(
+            "scale", nn.initializers.constant(self.init_value), ()
+        )
+        return x * scale
+
+
+class MaskedMHCA(nn.Module):
+    """Multi-head conv attention with masking (blocks.py:119-245).
+
+    Depthwise conv + channel-LN on q (from x2) and k/v (from x1), 1x1
+    projections, masked softmax, output re-masked by the query mask. Serves
+    as both self- and cross-attention (x1 = key/value source, x2 = query
+    source). Downsampling strides (n_qx/kv_stride) are supported for parity,
+    though the live model only uses stride 1.
+    """
+
+    n_embd: int
+    n_head: int
+    n_qx_stride: int = 1
+    n_kv_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x1: Array, x2: Array, mask: Array) -> Tuple[Array, Array]:
+        assert self.n_embd % self.n_head == 0
+        head_dim = self.n_embd // self.n_head
+        scale = 1.0 / math.sqrt(head_dim)
+
+        def dw_kernel(stride):
+            return stride + 1 if stride > 1 else 3
+
+        q, qx_mask = MaskedConv1D(
+            self.n_embd, dw_kernel(self.n_qx_stride), stride=self.n_kv_stride,
+            groups=self.n_embd, use_bias=False, name="query_conv",
+        )(x2, mask)
+        q = ChannelLayerNorm(name="query_norm")(q)
+        k, kv_mask = MaskedConv1D(
+            self.n_embd, dw_kernel(self.n_kv_stride), stride=self.n_kv_stride,
+            groups=self.n_embd, use_bias=False, name="key_conv",
+        )(x1, mask)
+        k = ChannelLayerNorm(name="key_norm")(k)
+        v, _ = MaskedConv1D(
+            self.n_embd, dw_kernel(self.n_kv_stride), stride=self.n_kv_stride,
+            groups=self.n_embd, use_bias=False, name="value_conv",
+        )(x1, mask)
+        v = ChannelLayerNorm(name="value_norm")(v)
+
+        dense = dict(
+            kernel_init=torch_conv_kernel_init, bias_init=nn.initializers.zeros
+        )
+        q = nn.Dense(self.n_embd, name="query", **dense)(q)
+        k = nn.Dense(self.n_embd, name="key", **dense)(k)
+        v = nn.Dense(self.n_embd, name="value", **dense)(v)
+
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.n_head, head_dim)
+        k = k.reshape(b, tk, self.n_head, head_dim)
+        v = v.reshape(b, tk, self.n_head, head_dim)
+
+        att = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        # prevent queries from attending to invalid kv tokens
+        neg_inf = jnp.finfo(att.dtype).min
+        att = jnp.where(kv_mask[:, None, None, :], att, neg_inf)
+        att = jax.nn.softmax(att, axis=-1)
+
+        v = v * kv_mask[:, :, None, None].astype(v.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32
+        )
+        out = out.reshape(b, tq, self.n_embd)
+        out = nn.Dense(self.n_embd, name="proj", **dense)(out)
+        out = out * qx_mask[..., None].astype(out.dtype)
+        return out, qx_mask
+
+
+def _max_pool1d(x: Array, kernel: int, stride: int, padding: int) -> Array:
+    """MaxPool1d over the T axis of (B, T, C)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, kernel, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block: MHCA + (max-pool) skip + 4x MLP, with
+    AffineDropPath stochastic depth on both branches (blocks.py:247-323)."""
+
+    n_embd: int
+    n_head: int
+    n_ds_strides: Tuple[int, int] = (1, 1)
+    n_out: Optional[int] = None
+    n_hidden: Optional[int] = None
+    path_pdrop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x1: Array,
+        x2: Array,
+        mask: Array,
+        train: bool = False,
+        pos_embd: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        n_out = self.n_out or self.n_embd
+        n_hidden = self.n_hidden or 4 * self.n_embd
+
+        h1 = ChannelLayerNorm(name="ln11")(x1)
+        h2 = ChannelLayerNorm(name="ln12")(x2)
+        out, out_mask = MaskedMHCA(
+            self.n_embd, self.n_head,
+            n_qx_stride=self.n_ds_strides[0],
+            n_kv_stride=self.n_ds_strides[1],
+            name="attn",
+        )(h1, h2, mask)
+        out_mask_f = out_mask[..., None].astype(out.dtype)
+
+        if self.n_ds_strides[0] > 1:
+            s = self.n_ds_strides[0]
+            skip = _max_pool1d(x1, kernel=s + 1, stride=s, padding=(s + 1) // 2)
+        else:
+            skip = x1
+
+        if self.path_pdrop > 0.0:
+            dp_attn = AffineDropPath(self.n_embd, self.path_pdrop, name="drop_path_attn")
+            dp_mlp = AffineDropPath(n_out, self.path_pdrop, name="drop_path_mlp")
+            out = skip * out_mask_f + dp_attn(out, train)
+        else:
+            out = skip * out_mask_f + out
+
+        h = ChannelLayerNorm(name="ln2")(out)
+        dense = dict(
+            kernel_init=torch_conv_kernel_init, bias_init=nn.initializers.zeros
+        )
+        h = nn.Dense(n_hidden, name="mlp_fc1", **dense)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(n_out, name="mlp_fc2", **dense)(h)
+        h = h * out_mask_f
+        if self.path_pdrop > 0.0:
+            out = out + dp_mlp(h, train)
+        else:
+            out = out + h
+
+        if pos_embd is not None:
+            out = out + pos_embd * out_mask_f
+        return out, out_mask

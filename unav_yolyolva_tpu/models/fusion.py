@@ -1,0 +1,243 @@
+"""YOLO-World-style PAFPN fusion over the 6-level temporal pyramid.
+
+Re-designs the fork's `fusion_module` + CSP/MaxSigmoid stack
+(`/root/reference/libs/modeling/multimodal_backbones.py:51-256,336-619`)
+channels-last for TPU. Structural quirks of the reference are preserved
+because they determine the parameter space:
+
+  * top-down CSP layers use attention head counts [8, 4, 4, 4, 4]; bottom-up
+    layers all use 8 (backbones.py:420-527);
+  * the five bottom-up `downsample` stages share ONE parameter set
+    (backbones.py:400-408 appends the same instance five times);
+  * the guide tensor is the other modality's (B, C, T) feature map interpreted
+    as C=512 tokens of dimension T — so the guide projection's input width is
+    the (train) sequence length, hard-wiring T=224 (backbones.py:549,152);
+  * the "text enhancer" pools the first three pyramid levels with what is in
+    fact adaptive AVERAGE pooling (MaskedAdaptiveMaxPool1d subclasses
+    AdaptiveAvgPool1d, backbones.py:358) and ignores the mask;
+  * the base CSPLayerWithTwoConv.forward of the reference is dead code with a
+    broken call signature — only the MaxSigmoid variant is ever executed, so
+    only that variant exists here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masked import adaptive_avg_pool1d
+from .blocks import (
+    ChannelLayerNorm,
+    MaskedConv1D,
+    MaskedMHCA,
+    torch_conv_kernel_init,
+)
+
+Array = jnp.ndarray
+
+
+class MaxSigmoidAttnBlock(nn.Module):
+    """Cross-modal max-sigmoid gating (backbones.py:118-197)."""
+
+    in_channels: int
+    out_channels: int
+    guide_in_features: int   # feature dim of each guide token (= seq_len)
+    embed_channels: int
+    num_heads: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, guide: Array, mask: Array) -> Tuple[Array, Array]:
+        # x: (B, T, C_in); guide: (B, N_tokens, guide_in_features)
+        assert self.out_channels % self.num_heads == 0
+        assert self.embed_channels % self.num_heads == 0
+        head_ch = self.embed_channels // self.num_heads
+        b, t, _ = x.shape
+
+        g = nn.Dense(
+            self.embed_channels,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=nn.initializers.zeros,
+            name="guide_fc",
+        )(guide)  # (B, N, embed)
+        g = g.reshape(b, -1, self.num_heads, head_ch)
+
+        if self.embed_channels != self.in_channels:
+            embed, mask = MaskedConv1D(
+                self.embed_channels, 1, name="embed_conv"
+            )(x, mask)
+        else:
+            embed = x
+        embed = embed.reshape(b, t, self.num_heads, head_ch)
+
+        attn = jnp.einsum(
+            "bthc,bnhc->bhtn", embed, g, preferred_element_type=jnp.float32
+        )
+        attn = jnp.max(attn, axis=-1)                   # (B, H, T)
+        attn = attn / (head_ch ** 0.5)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_heads,)
+        )
+        attn = jax.nn.sigmoid(attn + bias[None, :, None])
+
+        x, mask = MaskedConv1D(
+            self.out_channels, self.kernel_size, name="project_conv"
+        )(x, mask)
+        x = x.reshape(b, t, self.num_heads, self.out_channels // self.num_heads)
+        x = x * jnp.transpose(attn, (0, 2, 1))[..., None]
+        return x.reshape(b, t, self.out_channels), mask
+
+
+class MaxSigmoidCSPLayer(nn.Module):
+    """CSP layer with two convs + chained MHCA blocks + max-sigmoid attention
+    branch (backbones.py:199-256)."""
+
+    in_channels: int
+    out_channels: int
+    guide_in_features: int
+    embed_channels: int
+    num_heads: int
+    num_blocks: int = 3
+    expand_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, guide: Array, mask: Array) -> Tuple[Array, Array]:
+        mid = int(self.out_channels * self.expand_ratio)
+        x_main, mask = MaskedConv1D(2 * mid, 1, name="main_conv")(x, mask)
+        parts = [x_main[..., :mid], x_main[..., mid:]]
+        for i in range(self.num_blocks):
+            out, mask = MaskedMHCA(
+                mid, n_head=4, name=f"block{i}"
+            )(parts[-1], parts[-1], mask)
+            parts.append(out)
+        out, mask = MaxSigmoidAttnBlock(
+            in_channels=mid,
+            out_channels=mid,
+            guide_in_features=self.guide_in_features,
+            embed_channels=self.embed_channels,
+            num_heads=self.num_heads,
+            name="attn_block",
+        )(parts[-1], guide, mask)
+        parts.append(out)
+        out, mask = MaskedConv1D(self.out_channels, 1, name="final_conv")(
+            jnp.concatenate(parts, axis=-1), mask
+        )
+        return out, mask
+
+
+class DownsampleSiLU(nn.Module):
+    """Strided conv + channel-LN + SiLU (backbones.py:336-356)."""
+
+    n_embd: int
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array) -> Tuple[Array, Array]:
+        k = self.scale_factor + 1 if self.scale_factor > 1 else 3
+        x, mask = MaskedConv1D(
+            self.n_embd, k, stride=self.scale_factor, name="down_conv"
+        )(x, mask)
+        x = ChannelLayerNorm(name="down_norm")(x)
+        return nn.silu(x), mask
+
+
+class FusionModule(nn.Module):
+    """Audio/visual-guided PAFPN over the 6-level pyramid
+    (backbones.py:367-619). One instance is shared between the V-guided-by-A
+    and A-guided-by-V passes, exactly as in the reference."""
+
+    n_embd: int = 512
+    seq_len: int = 224          # guide token feature width (train T)
+    num_levels: int = 6
+    pool_size: int = 4
+    pool_levels: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        img_feats: List[Array],     # num_levels x (B, T_l, C)
+        txt_feats: Array,           # (B, T, C)
+        mask_img: List[Array],      # num_levels x (B, T_l)
+        mask_txt: Array,            # (B, T)
+    ):
+        nl = self.num_levels
+        assert len(img_feats) == nl
+
+        td_heads = [8, 4, 4, 4, 4]
+        bu_heads = [8, 8, 8, 8, 8]
+        # the guide is the other modality transposed: C tokens of width T
+        guide = jnp.transpose(txt_feats, (0, 2, 1))  # (B, C, T)
+
+        top_down_layers = [
+            MaxSigmoidCSPLayer(
+                in_channels=2 * self.n_embd,
+                out_channels=self.n_embd,
+                guide_in_features=self.seq_len,
+                embed_channels=256,
+                num_heads=td_heads[i],
+                name=f"top_down_{i}",
+            )
+            for i in range(nl - 1)
+        ]
+        bottom_up_layers = [
+            MaxSigmoidCSPLayer(
+                in_channels=2 * self.n_embd,
+                out_channels=self.n_embd,
+                guide_in_features=self.seq_len,
+                embed_channels=256,
+                num_heads=bu_heads[i],
+                name=f"bottom_up_{i}",
+            )
+            for i in range(nl - 1)
+        ]
+        # single shared downsample instance (reference quirk)
+        shared_down = DownsampleSiLU(self.n_embd, name="downsample_shared")
+
+        # ---- top-down path -------------------------------------------------
+        inner_outs = [img_feats[-1]]
+        for idx in range(nl - 1, 0, -1):
+            feat_high = inner_outs[0]
+            feat_low = img_feats[idx - 1]
+            upsample = jnp.repeat(feat_high, 2, axis=1)      # nearest x2
+            mask_up = jnp.repeat(mask_img[idx], 2, axis=1)   # coarse mask, x2
+            td_in = jnp.concatenate([upsample, feat_low], axis=-1)
+            inner, _ = top_down_layers[nl - 1 - idx](td_in, guide, mask_up)
+            inner_outs.insert(0, inner)
+
+        # ---- text enhancer -------------------------------------------------
+        pooled = [
+            adaptive_avg_pool1d(inner_outs[i], self.pool_size)
+            for i in range(self.pool_levels)
+        ]
+        pooled = jnp.concatenate(pooled, axis=1)  # (B, 12, C)
+        # Conv1d(12 -> seq_len, k=1) over the pooled-bin axis
+        w = self.param(
+            "match_projection_kernel",
+            torch_conv_kernel_init,
+            (self.pool_levels * self.pool_size, self.seq_len),
+        )
+        b_mp = self.param(
+            "match_projection_bias", nn.initializers.zeros, (self.seq_len,)
+        )
+        mlvl = jnp.einsum(
+            "bkc,ko->boc", pooled, w, preferred_element_type=jnp.float32
+        ) + b_mp[None, :, None]  # (B, T, C)
+
+        txt_enh, mask_txt = MaskedMHCA(
+            self.n_embd, n_head=4, name="text_enhancer"
+        )(txt_feats, mlvl, mask_txt)
+        guide_enh = jnp.transpose(txt_enh, (0, 2, 1))
+
+        # ---- bottom-up path ------------------------------------------------
+        outs = [inner_outs[0]]
+        for idx in range(nl - 1):
+            down, mask_down = shared_down(outs[-1], mask_img[idx])
+            bu_in = jnp.concatenate([down, inner_outs[idx + 1]], axis=-1)
+            out, _ = bottom_up_layers[idx](bu_in, guide_enh, mask_down)
+            outs.append(out)
+
+        # reference returns the ORIGINAL input pyramid masks
+        return outs, txt_enh, mask_img, mask_txt
