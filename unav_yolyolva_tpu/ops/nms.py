@@ -1,0 +1,234 @@
+"""On-device fixed-shape 1D (Soft-)NMS.
+
+Replaces the reference's C++ CPU extension
+(`/root/reference/libs/utils/csrc/nms_cpu.cpp:19-182`) and its per-class
+Python loop (`/root/reference/libs/utils/nms.py:103-190`) with a fixed-shape
+XLA program: a `lax.fori_loop` select-and-decay scan per class, vmapped over
+the class axis, followed by a global top-k. No host round-trip, no dynamic
+shapes; everything lives in the same jit as the decode.
+
+Algorithm parity with `softnms_1d_cpu` (sequential swap-max scan with
+in-place score decay and removal below min_score):
+  * at each step the max-score alive candidate is emitted with its
+    current (possibly decayed) score;
+  * every other alive candidate's score is multiplied by the method weight
+    (0: hard cut at iou>=thr; 1: linear 1-iou above thr; 2: gaussian
+    exp(-iou^2/sigma));
+  * after each emission, any alive candidate whose score fell below
+    min_score is dropped — including untouched ones, matching the C++ scan
+    which re-checks every remaining element each round;
+  * IoU uses the C++ area epsilon (x2 - x1 + 1e-6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+NMS_HARD = 0
+NMS_LINEAR = 1
+NMS_GAUSSIAN = 2
+
+
+def _iou_1d(seg: Array, segs: Array) -> Array:
+    """IoU of one (2,) segment against (N, 2), C++ epsilon semantics."""
+    x1, x2 = seg[0], seg[1]
+    areas = segs[:, 1] - segs[:, 0] + 1e-6
+    area_i = x2 - x1 + 1e-6
+    xx1 = jnp.maximum(x1, segs[:, 0])
+    xx2 = jnp.minimum(x2, segs[:, 1])
+    inter = jnp.maximum(0.0, xx2 - xx1)
+    return inter / (area_i + areas - inter)
+
+
+def soft_nms_fixed(
+    segs: Array,      # (N, 2)
+    scores: Array,    # (N,)
+    alive0: Array,    # (N,) bool — initial candidate validity
+    max_out: int,
+    iou_threshold: float,
+    sigma: float,
+    min_score: float,
+    method: int = NMS_GAUSSIAN,
+) -> Tuple[Array, Array, Array]:
+    """Sequential-equivalent Soft-NMS over a fixed candidate buffer.
+
+    Returns (sel_idx (max_out,), sel_score (max_out,), sel_valid (max_out,)).
+    """
+    n = segs.shape[0]
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def body(i, state):
+        scores, alive, out_idx, out_score, out_valid = state
+        masked = jnp.where(alive, scores, neg_inf)
+        j = jnp.argmax(masked)
+        smax = masked[j]
+        any_alive = smax > neg_inf
+
+        out_idx = out_idx.at[i].set(j)
+        out_score = out_score.at[i].set(jnp.where(any_alive, smax, 0.0))
+        out_valid = out_valid.at[i].set(any_alive)
+
+        alive = alive.at[j].set(False)
+        iou = _iou_1d(segs[j], segs)
+        if method == NMS_HARD:
+            w = (iou < iou_threshold).astype(jnp.float32)
+        elif method == NMS_LINEAR:
+            w = jnp.where(iou >= iou_threshold, 1.0 - iou, 1.0)
+        else:
+            w = jnp.exp(-(iou * iou) / sigma)
+        new_scores = jnp.where(alive & any_alive, scores * w, scores)
+        new_alive = alive & jnp.where(
+            any_alive, new_scores >= min_score, True
+        )
+        return new_scores, new_alive, out_idx, out_score, out_valid
+
+    init = (
+        scores.astype(jnp.float32),
+        alive0,
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), jnp.float32),
+        jnp.zeros((max_out,), bool),
+    )
+    _, _, out_idx, out_score, out_valid = jax.lax.fori_loop(
+        0, min(max_out, n), body, init
+    )
+    return out_idx, out_score, out_valid
+
+
+def hard_nms_fixed(
+    segs: Array,
+    scores: Array,
+    alive0: Array,
+    max_out: int,
+    iou_threshold: float,
+    min_score: float,
+) -> Tuple[Array, Array, Array]:
+    """Greedy hard NMS (`nms_1d_cpu.nms`): scores are never decayed; the
+    pre-filter keeps scores strictly > min_score (nms.py:15-21)."""
+    alive0 = alive0 & (scores > min_score) if min_score > 0 else alive0
+    n = segs.shape[0]
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def body(i, state):
+        alive, out_idx, out_score, out_valid = state
+        masked = jnp.where(alive, scores, neg_inf)
+        j = jnp.argmax(masked)
+        smax = masked[j]
+        any_alive = smax > neg_inf
+        out_idx = out_idx.at[i].set(j)
+        out_score = out_score.at[i].set(jnp.where(any_alive, smax, 0.0))
+        out_valid = out_valid.at[i].set(any_alive)
+        alive = alive.at[j].set(False)
+        iou = _iou_1d(segs[j], segs)
+        suppress = iou >= iou_threshold
+        alive = alive & jnp.where(any_alive, ~suppress, True)
+        return alive, out_idx, out_score, out_valid
+
+    init = (
+        alive0,
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), jnp.float32),
+        jnp.zeros((max_out,), bool),
+    )
+    _, out_idx, out_score, out_valid = jax.lax.fori_loop(
+        0, min(max_out, n), body, init
+    )
+    return out_idx, out_score, out_valid
+
+
+def seg_voting(
+    nms_segs: Array,    # (M, 2)
+    nms_valid: Array,   # (M,)
+    all_segs: Array,    # (N, 2)
+    all_scores: Array,  # (N,)
+    all_valid: Array,   # (N,)
+    iou_threshold: float,
+    score_offset: float = 1.5,
+) -> Array:
+    """Segment voting refinement (nms.py:67-101). The reference adds a score
+    offset but then uses the raw scores as weights — replicated."""
+    del score_offset  # computed but unused by the reference weighting
+    left = jnp.maximum(nms_segs[:, None, 0], all_segs[None, :, 0])
+    right = jnp.minimum(nms_segs[:, None, 1], all_segs[None, :, 1])
+    inter = jnp.maximum(right - left, 0.0)
+    lens_n = nms_segs[:, 1] - nms_segs[:, 0]
+    lens_a = all_segs[:, 1] - all_segs[:, 0]
+    iou = inter / (lens_n[:, None] + lens_a[None, :] - inter)
+    w = (iou >= iou_threshold).astype(jnp.float32) * (
+        all_scores * all_valid.astype(jnp.float32)
+    )[None, :]
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    refined = w @ all_segs
+    return jnp.where(nms_valid[:, None], refined, nms_segs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_classes", "max_seg_num", "use_soft_nms", "multiclass", "method",
+    ),
+)
+def batched_nms(
+    segs: Array,        # (N, 2) candidate segments (feature-grid units)
+    scores: Array,      # (N,)
+    cls_idxs: Array,    # (N,) int32
+    valid: Array,       # (N,) bool
+    *,
+    num_classes: int,
+    iou_threshold: float,
+    min_score: float,
+    max_seg_num: int,
+    use_soft_nms: bool = True,
+    multiclass: bool = True,
+    sigma: float = 0.5,
+    voting_thresh: float = 0.75,
+    method: int = NMS_GAUSSIAN,
+) -> Tuple[Array, Array, Array, Array]:
+    """Fixed-shape equivalent of reference batched_nms (nms.py:103-190).
+
+    Returns (segs (K, 2), scores (K,), cls (K,), valid (K,)) with
+    K = max_seg_num, sorted by descending score.
+    """
+
+    def run_single(alive0):
+        if use_soft_nms:
+            return soft_nms_fixed(
+                segs, scores, alive0, max_seg_num, iou_threshold, sigma,
+                min_score, method,
+            )
+        return hard_nms_fixed(
+            segs, scores, alive0, max_seg_num, iou_threshold, min_score
+        )
+
+    if multiclass:
+        class_alive = valid[None, :] & (
+            cls_idxs[None, :] == jnp.arange(num_classes)[:, None]
+        )  # (C, N)
+        idx, sc, ok = jax.vmap(run_single)(class_alive)
+        idx, sc, ok = idx.reshape(-1), sc.reshape(-1), ok.reshape(-1)
+        out_segs = segs[idx]
+        out_cls = cls_idxs[idx]
+    else:
+        idx, sc, ok = run_single(valid)
+        out_segs = segs[idx]
+        out_cls = cls_idxs[idx]
+        if voting_thresh > 0:
+            out_segs = seg_voting(
+                out_segs, ok, segs, scores, valid, voting_thresh
+            )
+
+    # global sort by score, cap at max_seg_num
+    ranked = jnp.where(ok, sc, -jnp.inf)
+    top_sc, top_i = jax.lax.top_k(ranked, max_seg_num)
+    return (
+        out_segs[top_i],
+        jnp.where(top_sc > -jnp.inf, top_sc, 0.0),
+        out_cls[top_i],
+        top_sc > -jnp.inf,
+    )
