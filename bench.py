@@ -1,0 +1,124 @@
+"""Benchmark: full-pipeline eval throughput on the flagship model.
+
+Measures videos/sec for the COMPLETE eval path — Alignment + fusion backbone
+forward, per-level decode, multiclass gaussian Soft-NMS, grid->seconds —
+as ONE jitted program on the available accelerator (real v5e chip under the
+driver), at the reference eval protocol (T=224, 100 classes, batch 64,
+pre_nms_topk 2000, max 100 segments/video).
+
+vs_baseline: ratio against the PyTorch-CPU reference eval throughput. If a
+measured baseline is recorded in BASELINE_MEASURED.json (produced by
+tools/bench_reference_cpu.py on this host), it is used; otherwise the
+conservative fallback estimate in that file's documentation applies.
+
+Prints exactly one JSON line:
+  {"metric": "eval_videos_per_sec", "value": N, "unit": "videos/s",
+   "vs_baseline": R}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unav_yolyolva_tpu.core.config import load_config_dict
+    from unav_yolyolva_tpu.models import build_model
+    from unav_yolyolva_tpu.train import (
+        create_train_state, make_eval_step, make_optimizer,
+    )
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    cfg = load_config_dict({
+        "dataset": {"max_seq_len": 224, "num_classes": 100,
+                    "max_num_events": 64},
+        "loader": {"batch_size": batch_size},
+        "model": {
+            "use_abs_pe": True, "class_aware": True,
+            "intra_contr_weight": 1.0, "inter_contr_weight": 0.001,
+            "score_V_weight": 0.001, "score_A_weight": 0.001,
+        },
+        "opt": {"learning_rate": 1e-4, "epochs": 40, "warmup_epochs": 5},
+        "train_cfg": {"loss_weight": 1},
+        "test_cfg": {
+            "pre_nms_topk": 2000, "max_seg_num": 100, "min_score": 0.001,
+            "multiclass_nms": True, "nms_sigma": 0.4, "iou_threshold": 0.7,
+        },
+    })
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, t, c = batch_size, 224, 100
+    host = np.random.default_rng(0)
+    batch = {
+        "visual": host.normal(size=(b, t, 2048)).astype(np.float32),
+        "audio": host.normal(size=(b, t, 128)).astype(np.float32),
+        "mask": np.ones((b, t), bool),
+        "gt_segments": np.tile(
+            np.float32([[10.0, 60.0]] + [[0, 0]] * 63), (b, 1, 1)
+        ),
+        "gt_labels": np.zeros((b, 64), np.int32),
+        "gt_valid": np.tile(np.asarray([True] + [False] * 63), (b, 1)),
+        "fps": np.full((b,), 25.0, np.float32),
+        "duration": np.full((b,), 70.0, np.float32),
+        "feat_stride": np.full((b,), 8.0, np.float32),
+        "feat_num_frames": np.full((b,), 24.0, np.float32),
+    }
+
+    init_inputs = {
+        "visual": jnp.zeros((b, t, 2048)),
+        "audio": jnp.zeros((b, t, 128)),
+        "mask": jnp.ones((b, t), bool),
+        "m_scores": jnp.zeros((b, t)),
+        "m_start_end": jnp.zeros((b, t)),
+        "m_labels": jnp.zeros((b, t, c)),
+    }
+    params = jax.jit(
+        lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
+    )(rng, init_inputs)
+    tx, _ = make_optimizer(params, cfg["opt"], 1)
+    state = create_train_state(params, tx, 250)
+
+    eval_step = make_eval_step(model, cfg, use_ema=True)
+
+    # warm up / compile
+    dets, losses = eval_step(state, batch)
+    jax.block_until_ready(dets)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dets, losses = eval_step(state, batch)
+    jax.block_until_ready(dets)
+    dt = time.perf_counter() - t0
+    vps = batch_size * iters / dt
+
+    baseline_vps = None
+    baseline_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            baseline = json.load(f)
+        baseline_vps = baseline.get("pytorch_cpu_eval_videos_per_sec")
+    vs_baseline = (vps / baseline_vps) if baseline_vps else None
+
+    print(json.dumps({
+        "metric": "eval_videos_per_sec",
+        "value": round(vps, 3),
+        "unit": "videos/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import numpy as np
 import pytest
 
+# The environment pins JAX_PLATFORMS=axon (real TPU tunnel) in a way that
+# overrides the env var above — force CPU at the config level so tests run
+# on the 8 virtual host devices.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture
 def rng():

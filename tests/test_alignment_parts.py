@@ -139,6 +139,20 @@ def test_nce_zero_with_no_negatives():
     # identical CLS embeddings -> uniform logits -> inter = 2B*log(B)/2
     np.testing.assert_allclose(float(inter), B * np.log(B), rtol=1e-5)
 
+    # regression: gradients through zero-vector (masked) embeddings must be
+    # finite — sqrt(0) in l2norm used to poison the backward pass
+    float_keys = ("key_video", "key_text", "nonkey_video", "nonkey_text",
+                  "cls_video", "cls_text")
+
+    def total(floats):
+        aux_in = dict(aux, **floats)
+        i1, i2 = mod.apply(params, aux_in)
+        return i1 + i2
+
+    grads = jax.grad(total)({k: aux[k] for k in float_keys})
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
 
 def test_nce_value_with_negatives(rng):
     from unav_yolyolva_tpu.models.meta_arch import ContrastiveLosses, LOGIT_SCALE_INIT

@@ -1,0 +1,121 @@
+"""Data pipeline tests on the synthetic fixture."""
+
+import numpy as np
+import pytest
+
+from unav_yolyolva_tpu.data import (
+    UnAV100Dataset,
+    make_batcher,
+    synthetic,
+    truncate_feats,
+)
+from unav_yolyolva_tpu.core.config import load_config_dict
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return synthetic.make_synthetic_dataset(
+        str(root), num_videos=6, num_classes=5, min_len=40, max_len=120,
+        visual_dim=64, audio_dim=16, seed=1,
+    )
+
+
+def make_cfg(synth, max_seq_len=96, batch_size=2):
+    return load_config_dict({
+        "dataset": {
+            "json_file": synth["json_file"],
+            "feat_folder": synth["feat_folder"],
+            "num_classes": synth["num_classes"],
+            "max_seq_len": max_seq_len,
+        },
+        "loader": {"batch_size": batch_size, "num_workers": 2},
+    })
+
+
+def test_dataset_loading(synth):
+    cfg = make_cfg(synth)
+    ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
+    assert len(ds) == 3
+    item = ds.load_item(0)
+    t = item["visual"].shape[0]
+    assert item["visual"].shape == (t, 64)
+    assert item["audio"].shape == (t, 16)
+    # grid coords: seconds were generated as (grid*stride+0.5*nf)/fps, so the
+    # roundtrip must recover near-integers
+    grid = item["segments"]
+    np.testing.assert_allclose(grid, np.round(grid), atol=0.05)
+    assert item["labels"].shape[0] == grid.shape[0]
+
+
+def test_truncate_keeps_an_event(synth):
+    rng_trials = []
+    cfg = make_cfg(synth, max_seq_len=32)
+    ds = UnAV100Dataset(True, ("train",), **cfg["dataset"])
+    import random
+
+    for i in range(len(ds)):
+        item = ds.load_item(i, random.Random(i))
+        assert item["visual"].shape[0] <= 32
+        assert item["segments"].shape[0] >= 1
+        # all kept segments lie within the window (grid coords in [0, T])
+        assert (item["segments"][:, 0] >= -1e-5).all()
+        assert (item["segments"][:, 1] <= 32 + 1e-5).all()
+        rng_trials.append(item["segments"].shape[0])
+
+
+def test_truncate_crop_ratio_only():
+    item = {
+        "visual": np.zeros((100, 4), np.float32),
+        "audio": np.zeros((100, 2), np.float32),
+        "segments": np.asarray([[10.0, 90.0]], np.float32),
+        "labels": np.asarray([0]),
+    }
+    import random
+
+    out = truncate_feats(item, 224, 0.5, crop_ratio=(0.9, 1.0),
+                         rng=random.Random(3))
+    assert 90 <= out["visual"].shape[0] <= 100
+    assert out["segments"].shape[0] == 1
+
+
+def test_batcher_train_shapes(synth):
+    cfg = make_cfg(synth, max_seq_len=128, batch_size=2)
+    ds = UnAV100Dataset(True, ("train",), **cfg["dataset"])
+    b = make_batcher(ds, cfg, True, seed=0)
+    batches = list(b)
+    assert len(batches) == len(ds) // 2
+    for batch in batches:
+        assert batch["visual"].shape == (2, 128, 64)
+        assert batch["audio"].shape == (2, 128, 16)
+        assert batch["mask"].shape == (2, 128)
+        assert batch["gt_segments"].shape == (2, 64, 2)
+        assert batch["gt_valid"].any()
+        # padded region is zero
+        for i in range(2):
+            n = batch["mask"][i].sum()
+            assert np.all(batch["visual"][i, n:] == 0)
+
+
+def test_batcher_eval_bucketing(synth):
+    cfg = make_cfg(synth, max_seq_len=64, batch_size=3)
+    ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
+    b = make_batcher(ds, cfg, False, seed=0)
+    batches = list(b)
+    assert sum(x["visual"].shape[0] for x in batches) == len(ds)
+    for batch in batches:
+        t = batch["visual"].shape[1]
+        assert t >= 64 and t % 32 == 0
+
+
+def test_batcher_deterministic_order(synth):
+    cfg = make_cfg(synth, max_seq_len=128, batch_size=2)
+    ds = UnAV100Dataset(True, ("train",), **cfg["dataset"])
+    b1 = make_batcher(ds, cfg, True, seed=7)
+    b2 = make_batcher(ds, cfg, True, seed=7)
+    ids1 = [tuple(x["video_id"]) for x in b1]
+    ids2 = [tuple(x["video_id"]) for x in b2]
+    assert ids1 == ids2
+    b1.set_epoch(1)
+    ids3 = [tuple(x["video_id"]) for x in b1]
+    assert ids1 != ids3  # reshuffled across epochs

@@ -1,0 +1,178 @@
+"""Training CLI.
+
+Mirrors the reference entry point (`/root/reference/train.py`):
+    python train.py <config.yaml> [--output NAME] [--resume CKPT_DIR]
+Builds datasets/batchers, the flax model + optax optimizer, then runs the
+jitted data-parallel train step over a jax.sharding.Mesh, evaluating every
+eval_freq epochs and checkpointing the best mAP model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+from pprint import pprint
+
+import jax
+
+
+def main(args):
+    from unav_yolyolva_tpu.core import load_config
+    from unav_yolyolva_tpu.data import UnAV100Dataset, make_batcher
+    from unav_yolyolva_tpu.eval.metrics import ANETdetection
+    from unav_yolyolva_tpu.models import build_model
+    from unav_yolyolva_tpu.parallel import make_mesh
+    from unav_yolyolva_tpu.train import (
+        create_train_state,
+        load_checkpoint,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+        save_checkpoint,
+        train_one_epoch,
+        valid_one_epoch,
+    )
+    from unav_yolyolva_tpu.utils import fix_random_seed
+
+    if not os.path.isfile(args.config):
+        raise ValueError("Config file does not exist.")
+    cfg = load_config(args.config)
+    pprint(cfg)
+
+    # ckpt folder named from key hyperparams + timestamp (train.py:52-72)
+    m = cfg["model"]
+    model_name = (
+        f"tpu_{cfg['opt']['epochs']}_epochs"
+        f"_inter_{m['inter_contr_weight']}_intra_{m['intra_contr_weight']}"
+        f"_score_v_{m['score_V_weight']}_score_a_{m['score_A_weight']}"
+        f"_batch_{cfg['loader']['batch_size']}"
+    )
+    os.makedirs(cfg["output_folder"], exist_ok=True)
+    suffix = args.output or str(
+        datetime.datetime.fromtimestamp(int(time.time()))
+    ).replace(" ", "_")
+    ckpt_folder = os.path.join(cfg["output_folder"], f"{model_name}_{suffix}")
+    os.makedirs(ckpt_folder, exist_ok=True)
+
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(ckpt_folder, "logs"))
+    except Exception:
+        pass
+
+    rng = fix_random_seed(cfg["init_rand_seed"])
+
+    mesh = make_mesh(cfg["tpu"]["num_devices"])
+    num_shards = mesh.devices.size
+    # LR scaled by number of data-parallel shards (train.py:80)
+    cfg["opt"]["learning_rate"] *= num_shards
+
+    train_dataset = UnAV100Dataset(True, cfg["train_split"], **cfg["dataset"])
+    cfg["train_cfg"]["head_empty_cls"] = train_dataset.get_attributes()[
+        "empty_label_ids"
+    ]
+    cfg["model"]["train_cfg"] = cfg["train_cfg"]
+    train_batcher = make_batcher(
+        train_dataset, cfg, True, seed=cfg["init_rand_seed"] & 0x7FFFFFFF
+    )
+
+    det_eval, val_batcher = None, None
+    if cfg["train_cfg"]["evaluate"]:
+        val_dataset = UnAV100Dataset(False, cfg["val_split"], **cfg["dataset"])
+        val_batcher = make_batcher(val_dataset, cfg, False)
+        det_eval = ANETdetection(
+            val_dataset.json_file,
+            val_dataset.split[0],
+            tiou_thresholds=val_dataset.get_attributes()["tiou_thresholds"],
+        )
+
+    model = build_model(cfg)
+
+    # init params with a dummy batch shaped like the real ones
+    import numpy as np
+    import jax.numpy as jnp
+
+    b, t = cfg["loader"]["batch_size"], cfg["dataset"]["max_seq_len"]
+    dummy = {
+        "visual": jnp.zeros((b, t, cfg["model"].get("raw_input_dim_V", 2048))),
+        "audio": jnp.zeros((b, t, cfg["model"].get("raw_input_dim_A", 128))),
+        "mask": jnp.ones((b, t), bool),
+        "m_scores": jnp.zeros((b, t)),
+        "m_start_end": jnp.zeros((b, t)),
+        "m_labels": jnp.zeros((b, t, cfg["model"]["num_classes"])),
+    }
+    init_key = jax.random.fold_in(rng, 0)
+    params = jax.jit(
+        lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
+    )(init_key, dummy)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"Model parameters: {n_params / 1e6:.2f}M on {num_shards} device(s)")
+
+    tx, schedule = make_optimizer(
+        params, cfg["opt"], len(train_batcher),
+        clip_grad_l2norm=cfg["train_cfg"]["clip_grad_l2norm"],
+    )
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
+
+    start_epoch = 0
+    if args.resume:
+        restored = load_checkpoint(args.resume, state)
+        state, start_epoch = restored["state"], restored["epoch"] + 1
+        print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch - 1})")
+
+    with open(os.path.join(ckpt_folder, "config.txt"), "w") as fid:
+        pprint(cfg, stream=fid)
+
+    train_step = make_train_step(model, tx, cfg, mesh=mesh)
+    eval_step = make_eval_step(model, cfg, use_ema=True)
+
+    max_epochs = cfg["opt"]["epochs"] + cfg["opt"]["warmup_epochs"]
+    best_mAP = 0.0
+    print(f"\nStart training model {cfg['model_name']} ...")
+    for epoch in range(start_epoch, max_epochs):
+        state, _ = train_one_epoch(
+            state, train_batcher, train_step, rng, epoch,
+            mesh=mesh, tb_writer=tb_writer, print_freq=args.print_freq,
+            schedule=schedule,
+        )
+        if (epoch + 1) % cfg["train_cfg"]["eval_freq"] == 0 or (
+            epoch == max_epochs - 1
+        ):
+            if cfg["train_cfg"]["evaluate"]:
+                t0 = time.time()
+                avg_mAP, _ = valid_one_epoch(
+                    state, val_batcher, eval_step, epoch,
+                    evaluator=det_eval, tb_writer=tb_writer,
+                    print_freq=args.print_freq,
+                )
+                print(f"evaluation done! Total time: {time.time() - t0:0.2f} sec")
+                if avg_mAP > best_mAP:
+                    best_mAP = avg_mAP
+                    save_checkpoint(state, epoch, ckpt_folder, is_best=True)
+        if (epoch == max_epochs - 1) or (
+            args.ckpt_freq > 0 and epoch % args.ckpt_freq == 0 and epoch > 0
+        ):
+            save_checkpoint(
+                state, epoch, ckpt_folder, file_name=f"epoch_{epoch:03d}"
+            )
+
+    print(f"Best mAP: {best_mAP:0.4f}")
+    if tb_writer is not None:
+        tb_writer.close()
+    print("All done!")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Train the TPU-native audio-visual event localizer"
+    )
+    parser.add_argument("config", metavar="DIR", help="path to a config file")
+    parser.add_argument("-p", "--print-freq", default=20, type=int)
+    parser.add_argument("-c", "--ckpt-freq", default=20, type=int)
+    parser.add_argument("--output", default="", type=str)
+    parser.add_argument("--resume", default=None, type=str, metavar="PATH")
+    main(parser.parse_args())

@@ -1,0 +1,216 @@
+"""Fixed-shape batching pipeline feeding the jitted step.
+
+Replaces the reference's torch DataLoader + collate_fcn
+(`/root/reference/libs/datasets/datasets.py:28-46`,
+`/root/reference/libs/datasets/data_utils.py:123-229`) with a prefetching
+iterator producing numpy batches of STATIC shape:
+
+  visual      (B, T, 2048) zero-padded
+  audio       (B, T, 128)
+  mask        (B, T) bool
+  gt_segments (B, N_max, 2) feature-grid coords
+  gt_labels   (B, N_max) int32
+  gt_valid    (B, N_max) bool
+  fps / duration / feat_stride / feat_num_frames (B,)
+  video_id    list[str] (host-only)
+
+Per-frame aux targets and dense point labels are computed ON DEVICE from
+gt_* inside the step (geometry/assign.py) — the reference's collate extras
+and worker-side label assignment loops have no host-side counterpart here.
+
+T policy matches the reference: training always pads to max_seq_len; eval
+pads to max(max_seq_len, next multiple of max_div_factor), additionally
+rounded to `bucket_multiple` to bound the number of XLA compilations.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..geometry.points import eval_seq_len
+from .dataset import UnAV100Dataset
+
+
+def pad_to(arr: np.ndarray, length: int) -> np.ndarray:
+    if arr.shape[0] >= length:
+        return arr[:length]
+    pad = np.zeros((length - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def collate(
+    items: List[Dict],
+    *,
+    max_seq_len: int,
+    max_num_events: int,
+    max_div_factor: int,
+    training: bool,
+    bucket_multiple: int = 32,
+) -> Dict:
+    lens = np.asarray([it["visual"].shape[0] for it in items])
+    max_len = int(lens.max())
+    if training:
+        assert max_len <= max_seq_len, "train inputs must fit max_seq_len"
+        t = max_seq_len
+    else:
+        t = eval_seq_len(max_len, max_seq_len, max_div_factor)
+        if t > max_seq_len:
+            t = -(-t // bucket_multiple) * bucket_multiple
+
+    b = len(items)
+    visual = np.stack([pad_to(it["visual"], t) for it in items])
+    audio = np.stack([pad_to(it["audio"], t) for it in items])
+    mask = np.arange(t)[None, :] < lens[:, None]
+
+    segs = np.zeros((b, max_num_events, 2), np.float32)
+    labels = np.zeros((b, max_num_events), np.int32)
+    valid = np.zeros((b, max_num_events), bool)
+    for i, it in enumerate(items):
+        if it["segments"] is None:
+            continue
+        n = min(len(it["segments"]), max_num_events)
+        segs[i, :n] = it["segments"][:n]
+        labels[i, :n] = it["labels"][:n]
+        valid[i, :n] = True
+
+    return {
+        "visual": visual,
+        "audio": audio,
+        "mask": mask,
+        "gt_segments": segs,
+        "gt_labels": labels,
+        "gt_valid": valid,
+        "fps": np.asarray([it["fps"] for it in items], np.float32),
+        "duration": np.asarray([it["duration"] for it in items], np.float32),
+        "feat_stride": np.asarray(
+            [it["feat_stride"] for it in items], np.float32
+        ),
+        "feat_num_frames": np.asarray(
+            [it["feat_num_frames"] for it in items], np.float32
+        ),
+        "video_id": [it["video_id"] for it in items],
+    }
+
+
+class Batcher:
+    """Shuffling, prefetching batch iterator.
+
+    IO and padding run on background threads (numpy releases the GIL for
+    np.load) so the accelerator step overlaps with input loading — the
+    TPU-side analogue of the reference's worker processes + prefetch_factor.
+    """
+
+    def __init__(
+        self,
+        dataset: UnAV100Dataset,
+        batch_size: int,
+        *,
+        max_num_events: int = 64,
+        max_div_factor: int = 32,
+        bucket_multiple: int = 32,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_threads: int = 2,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_num_events = max_num_events
+        self.max_div_factor = max_div_factor
+        self.bucket_multiple = bucket_multiple
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _index_batches(self) -> List[List[int]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._index_batches()
+        out_q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce(thread_id: int):
+            rng = random.Random(
+                (self.seed + self.epoch) * 7919 + thread_id
+            )
+            for bi in range(thread_id, len(batches), self.num_threads):
+                if stop.is_set():
+                    return
+                items = [self.dataset.load_item(j, rng) for j in batches[bi]]
+                batch = collate(
+                    items,
+                    max_seq_len=self.dataset.max_seq_len,
+                    max_num_events=self.max_num_events,
+                    max_div_factor=self.max_div_factor,
+                    training=self.dataset.is_training,
+                    bucket_multiple=self.bucket_multiple,
+                )
+                out_q.put((bi, batch))
+
+        threads = [
+            threading.Thread(target=produce, args=(i,), daemon=True)
+            for i in range(self.num_threads)
+        ]
+        for th in threads:
+            th.start()
+
+        pending: Dict[int, Dict] = {}
+        next_bi = 0
+        try:
+            while next_bi < len(batches):
+                while next_bi not in pending:
+                    bi, batch = out_q.get()
+                    pending[bi] = batch
+                yield pending.pop(next_bi)
+                next_bi += 1
+        finally:
+            stop.set()
+            for th in threads:
+                th.join(timeout=0.1)
+
+
+def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batcher:
+    max_div = max(
+        cfg["model"]["scale_factor"] ** i
+        for i in range(len(cfg["model"]["regression_range"]))
+    )
+    return Batcher(
+        dataset,
+        cfg["loader"]["batch_size"],
+        max_num_events=cfg["dataset"].get("max_num_events", 64),
+        max_div_factor=max_div,
+        bucket_multiple=cfg.get("tpu", {}).get("eval_bucket_multiple", 32),
+        shuffle=is_training,
+        drop_last=is_training,
+        seed=seed,
+        num_threads=min(4, cfg["loader"].get("num_workers", 2) or 1),
+        prefetch=cfg["loader"].get("prefetch", 4),
+    )

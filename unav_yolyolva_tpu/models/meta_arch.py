@@ -32,8 +32,13 @@ LOGIT_SCALE_INIT = math.log(1.0 / 0.07)
 
 
 def _l2norm(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
-    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
+    # sqrt is clamped away from 0 BEFORE differentiation: masked-out rows are
+    # exactly zero vectors and sqrt(0) has an infinite gradient that would
+    # poison the whole backward pass (0 * nan = nan). For real rows the
+    # clamp is a no-op, matching F.normalize semantics.
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / n
 
 
 class ContrastiveLosses(nn.Module):

@@ -1,0 +1,117 @@
+"""Checkpoint save/restore.
+
+Same content model as the reference (`/root/reference/libs/utils/
+train_utils.py:42-54`, `/root/reference/train.py:231-270`): a checkpoint is
+{epoch, model params, EMA params, optimizer state, schedule position}; the
+best checkpoint drops optimizer/scheduler state; eval loads the EMA weights.
+
+Format: a directory with msgpack-serialized pytrees (flax.serialization) +
+a JSON sidecar for scalars. Conversion to/from the reference's torch
+`.pth.tar` key space lives in utils/torch_convert.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from .state import TrainState
+
+
+def _write_bytes(path: str, data: bytes):
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _read_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def save_checkpoint(
+    state: TrainState,
+    epoch: int,
+    folder: str,
+    is_best: bool = False,
+    file_name: str = "checkpoint",
+):
+    """Write `<folder>/<name>/` with params/ema/opt msgpack blobs.
+
+    is_best => name forced to `model_best`, optimizer state dropped
+    (train_utils.py:47-52)."""
+    os.makedirs(folder, exist_ok=True)
+    name = "model_best" if is_best else file_name
+    ckpt_dir = os.path.join(folder, name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    params = jax.device_get(state.params)
+    ema = jax.device_get(state.ema_params)
+    _write_bytes(os.path.join(ckpt_dir, "params.msgpack"),
+                 serialization.to_bytes(params))
+    _write_bytes(os.path.join(ckpt_dir, "ema.msgpack"),
+                 serialization.to_bytes(ema))
+    if not is_best:
+        opt = jax.device_get(state.opt_state)
+        _write_bytes(os.path.join(ckpt_dir, "opt_state.msgpack"),
+                     serialization.to_bytes(opt))
+    meta = {
+        "epoch": int(epoch),
+        "step": int(jax.device_get(state.step)),
+        "loss_normalizer": float(jax.device_get(state.loss_normalizer)),
+        "has_opt_state": not is_best,
+    }
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return ckpt_dir
+
+
+def load_checkpoint(
+    ckpt_dir: str,
+    state_template: TrainState,
+) -> Dict[str, Any]:
+    """Restore into the template's structure. Returns
+    {state, epoch} — if the checkpoint has no optimizer state (best ckpt),
+    the template's optimizer state is kept."""
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+    params = serialization.from_bytes(
+        jax.device_get(state_template.params),
+        _read_bytes(os.path.join(ckpt_dir, "params.msgpack")),
+    )
+    ema = serialization.from_bytes(
+        jax.device_get(state_template.ema_params),
+        _read_bytes(os.path.join(ckpt_dir, "ema.msgpack")),
+    )
+    opt_state = state_template.opt_state
+    opt_path = os.path.join(ckpt_dir, "opt_state.msgpack")
+    if meta.get("has_opt_state") and os.path.exists(opt_path):
+        opt_state = serialization.from_bytes(
+            jax.device_get(state_template.opt_state), _read_bytes(opt_path)
+        )
+    state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        ema_params=ema,
+        loss_normalizer=jnp.asarray(meta["loss_normalizer"], jnp.float32),
+        step=jnp.asarray(meta["step"], jnp.int32),
+    )
+    return {"state": state, "epoch": meta["epoch"]}
+
+
+def find_latest_checkpoint(folder: str) -> Optional[str]:
+    """Pick the last checkpoint dir in sorted order (eval.py:33-36)."""
+    if os.path.isdir(os.path.join(folder, "meta.json")):
+        return folder
+    if os.path.exists(os.path.join(folder, "meta.json")):
+        return folder
+    cands = sorted(
+        d for d in os.listdir(folder)
+        if os.path.exists(os.path.join(folder, d, "meta.json"))
+    )
+    return os.path.join(folder, cands[-1]) if cands else None

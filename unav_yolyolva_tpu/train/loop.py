@@ -1,0 +1,148 @@
+"""Epoch-level train / validation loops.
+
+Equivalents of train_one_epoch / valid_one_epoch
+(`/root/reference/libs/utils/train_utils.py:255-466`). The inner step is a
+single donated jit (step.py); the loop only feeds sharded batches and logs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from ..utils.meters import AverageMeter
+
+ARRAY_KEYS_TRAIN = (
+    "visual", "audio", "mask", "gt_segments", "gt_labels", "gt_valid",
+)
+ARRAY_KEYS_EVAL = ARRAY_KEYS_TRAIN + (
+    "fps", "duration", "feat_stride", "feat_num_frames",
+)
+
+
+def _device_batch(batch: Dict, keys, mesh=None) -> Dict:
+    sub = {k: batch[k] for k in keys}
+    if mesh is not None:
+        return shard_batch(sub, mesh)
+    return sub
+
+
+def train_one_epoch(
+    state,
+    batcher,
+    train_step: Callable,
+    rng,
+    epoch: int,
+    *,
+    mesh=None,
+    tb_writer=None,
+    print_freq: int = 20,
+    schedule: Optional[Callable] = None,
+) -> tuple:
+    batch_time = AverageMeter()
+    trackers: Dict[str, AverageMeter] = {}
+    num_iters = len(batcher)
+    batcher.set_epoch(epoch)
+    print(f"\n[Train]: Epoch {epoch:d} started")
+    start = time.time()
+    last_losses = {}
+    losses = None
+    for it, batch in enumerate(batcher):
+        db = _device_batch(batch, ARRAY_KEYS_TRAIN, mesh)
+        state, losses = train_step(state, db, rng)
+
+        if it != 0 and it % print_freq == 0:
+            jax.block_until_ready(losses)
+            batch_time.update((time.time() - start) / print_freq)
+            start = time.time()
+            last_losses = {k: float(v) for k, v in losses.items()}
+            for k, v in last_losses.items():
+                trackers.setdefault(k, AverageMeter()).update(v)
+            step_i = int(jax.device_get(state.step))
+            lr = float(schedule(step_i - 1)) if schedule else float("nan")
+            if tb_writer is not None:
+                tb_writer.add_scalar("train/learning_rate", lr, step_i)
+                for k, v in last_losses.items():
+                    tb_writer.add_scalar(f"train/{k}", v, step_i)
+            fl = trackers.get("final_loss")
+            print(
+                f"Epoch: [{epoch:03d}][{it:05d}/{num_iters:05d}]\t"
+                f"Time {batch_time.val:.2f} ({batch_time.avg:.2f})\t"
+                f"Loss {fl.val:.2f} ({fl.avg:.2f})" if fl else ""
+            )
+    if losses is not None:
+        jax.block_until_ready(losses)
+        last_losses = {k: float(v) for k, v in losses.items()}
+    else:
+        jax.block_until_ready(state.params)
+    print(f"[Train]: Epoch {epoch:d} finished")
+    return state, last_losses
+
+
+def valid_one_epoch(
+    state,
+    batcher,
+    eval_step: Callable,
+    epoch: int,
+    *,
+    mesh=None,
+    evaluator=None,
+    output_file: Optional[str] = None,
+    ext_score_file: Optional[str] = None,
+    tb_writer=None,
+    print_freq: int = 20,
+) -> tuple:
+    assert (evaluator is not None) or (output_file is not None)
+    results = {
+        "video-id": [], "t-start": [], "t-end": [], "label": [], "score": [],
+    }
+    batch_time = AverageMeter()
+    start = time.time()
+    losses = {}
+    for it, batch in enumerate(batcher):
+        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh)
+        dets, losses = eval_step(state, db)
+        dets = jax.device_get(dets)
+        for vi, vid in enumerate(batch["video_id"]):
+            ok = dets["valid"][vi]
+            n = int(ok.sum())
+            if n == 0:
+                continue
+            results["video-id"].extend([vid] * n)
+            results["t-start"].append(dets["segments"][vi, ok, 0])
+            results["t-end"].append(dets["segments"][vi, ok, 1])
+            results["label"].append(dets["labels"][vi, ok])
+            results["score"].append(dets["scores"][vi, ok])
+        if it != 0 and it % print_freq == 0:
+            batch_time.update((time.time() - start) / print_freq)
+            start = time.time()
+            print(
+                f"Test: [{it:05d}/{len(batcher):05d}]\t"
+                f"Time {batch_time.val:.2f} ({batch_time.avg:.2f})"
+            )
+
+    for k in ("t-start", "t-end", "label", "score"):
+        results[k] = (
+            np.concatenate(results[k]) if results[k] else np.zeros((0,))
+        )
+
+    if evaluator is not None:
+        if ext_score_file:
+            from ..eval.postprocessing import postprocess_results
+
+            results = postprocess_results(results, ext_score_file)
+        _, mAP = evaluator.evaluate(results, verbose=True)
+    else:
+        import pickle
+
+        with open(output_file, "wb") as f:
+            pickle.dump(results, f)
+        mAP = 0.0
+
+    if tb_writer is not None:
+        tb_writer.add_scalar("validation/mAP", mAP, epoch)
+    return mAP, losses

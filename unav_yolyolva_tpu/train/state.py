@@ -1,0 +1,34 @@
+"""Train state: one pytree holding everything the step mutates.
+
+The reference scatters this across objects (model params, optimizer state,
+scheduler counter, ModelEma copy, and the PtTransformer.loss_normalizer
+python attribute, meta_archs.py:394-395,637-641). Here it is a single
+flax.struct dataclass so the whole update is one donated jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    loss_normalizer: jnp.ndarray  # scalar f32 EMA of #positives
+    step: jnp.ndarray             # scalar i32
+
+
+def create_train_state(params, tx, init_loss_norm: float) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.array, params),
+        loss_normalizer=jnp.asarray(float(init_loss_norm), jnp.float32),
+        step=jnp.asarray(0, jnp.int32),
+    )

@@ -1,0 +1,196 @@
+"""Jitted train / eval steps.
+
+One compiled program per step covering (reference equivalents in brackets):
+  * on-device dense target construction (DataLoader-worker label assignment,
+    unav100.py:173-252 + collate extras, data_utils.py:141-162)
+  * model forward + loss (PtTransformer.forward/losses)
+  * backward, global-norm clip, AdamW update, per-step LR schedule,
+    EMA update, loss-normalizer EMA (train_one_epoch body,
+    train_utils.py:278-301)
+
+The eval step additionally decodes proposals and runs Soft-NMS on device
+(inference + postprocessing, meta_archs.py:688-875), returning fixed-shape
+detections; the host only converts them to the mAP evaluator's row format.
+
+Data parallelism: steps are jitted with NamedShardings — batch sharded over
+the mesh's data axis, state replicated; XLA derives the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.assign import assign_labels_batch, frame_targets_batch
+from ..geometry.points import concat_points, generate_points
+from ..eval.decode import decode_single_video, postprocess_batch
+from ..models.meta_arch import compute_losses
+from .ema import ema_update
+from .state import TrainState
+
+
+def build_targets(batch: Dict, points_cat: jnp.ndarray, seq_len: int,
+                  num_classes: int, class_aware: bool):
+    """Device-side dense targets from padded GT events."""
+    m_scores, m_start_end, m_labels = frame_targets_batch(
+        batch["gt_segments"], batch["gt_labels"], batch["gt_valid"],
+        seq_len, num_classes,
+    )
+    gt_cls, gt_reg = assign_labels_batch(
+        points_cat, batch["gt_segments"], batch["gt_labels"],
+        batch["gt_valid"], num_classes, class_aware,
+    )
+    return m_scores, m_start_end, m_labels, gt_cls, gt_reg
+
+
+def _model_inputs(batch, m_scores, m_start_end, m_labels):
+    return {
+        "visual": batch["visual"],
+        "audio": batch["audio"],
+        "mask": batch["mask"],
+        "m_scores": m_scores,
+        "m_start_end": m_start_end,
+        "m_labels": m_labels,
+    }
+
+
+def make_train_step(
+    model,
+    tx,
+    cfg: Dict,
+    mesh=None,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+    mcfg = cfg["model"]
+    seq_len = mcfg["max_seq_len"]
+    num_classes = mcfg["num_classes"]
+    class_aware = mcfg["class_aware"]
+    reg_range = mcfg["regression_range"]
+    scale = mcfg["scale_factor"]
+    points_cat = jnp.asarray(concat_points(generate_points(seq_len, reg_range, scale)))
+
+    loss_kwargs = dict(
+        class_aware=class_aware,
+        loss_weight=cfg["train_cfg"]["loss_weight"],
+        inter_weight=mcfg["inter_contr_weight"],
+        intra_weight=mcfg["intra_contr_weight"],
+        score_v_weight=mcfg["score_V_weight"],
+        score_a_weight=mcfg["score_A_weight"],
+        label_smoothing=cfg["train_cfg"]["label_smoothing"],
+    )
+
+    def step(state: TrainState, batch: Dict, rng) -> tuple:
+        m_scores, m_start_end, m_labels, gt_cls, gt_reg = build_targets(
+            batch, points_cat, seq_len, num_classes, class_aware
+        )
+        inputs = _model_inputs(batch, m_scores, m_start_end, m_labels)
+        droppath_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, inputs, train=True, rngs={"droppath": droppath_rng}
+            )
+            losses, new_norm = compute_losses(
+                out, gt_cls, gt_reg, state.loss_normalizer, **loss_kwargs
+            )
+            return losses["final_loss"], (losses, new_norm)
+
+        grads, (losses, new_norm) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_ema = ema_update(state.ema_params, new_params)
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            loss_normalizer=new_norm,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: Dict, mesh=None, use_ema: bool = True) -> Callable:
+    """Returns eval_step(state, batch) -> (detections, losses).
+
+    Detections: dict of fixed-shape arrays (segs seconds, scores, labels,
+    valid). Compiles once per eval sequence-length bucket.
+    """
+    mcfg = cfg["model"]
+    num_classes = mcfg["num_classes"]
+    class_aware = mcfg["class_aware"]
+    reg_range = mcfg["regression_range"]
+    scale = mcfg["scale_factor"]
+    test_cfg = cfg["test_cfg"]
+
+    loss_kwargs = dict(
+        class_aware=class_aware,
+        loss_weight=cfg["train_cfg"]["loss_weight"],
+        inter_weight=mcfg["inter_contr_weight"],
+        intra_weight=mcfg["intra_contr_weight"],
+        score_v_weight=mcfg["score_V_weight"],
+        score_a_weight=mcfg["score_A_weight"],
+        label_smoothing=cfg["train_cfg"]["label_smoothing"],
+    )
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def step(state: TrainState, batch: Dict, seq_len: int):
+        points = generate_points(seq_len, reg_range, scale)
+        points_cat = jnp.asarray(np.concatenate(points, 0))
+        m_scores, m_start_end, m_labels, gt_cls, gt_reg = build_targets(
+            batch, points_cat, seq_len, num_classes, class_aware
+        )
+        inputs = _model_inputs(batch, m_scores, m_start_end, m_labels)
+        params = state.ema_params if use_ema else state.params
+        out = model.apply(params, inputs, train=False)
+        losses, _ = compute_losses(
+            out, gt_cls, gt_reg, state.loss_normalizer, **loss_kwargs
+        )
+
+        points_j = [jnp.asarray(p) for p in points]
+
+        def decode_one(cls_logits, offsets, masks):
+            return decode_single_video(
+                cls_logits, offsets, masks, points_j,
+                pre_nms_thresh=test_cfg["pre_nms_thresh"],
+                pre_nms_topk=test_cfg["pre_nms_topk"],
+                duration_thresh=test_cfg["duration_thresh"],
+                class_aware=class_aware,
+            )
+
+        segs, scores, cls_idx, valid = jax.vmap(decode_one)(
+            out["cls_logits"], out["offsets"], out["masks"]
+        )
+        segs, scores, cls_idx, valid = postprocess_batch(
+            segs, scores, cls_idx, valid,
+            num_classes=num_classes, test_cfg=test_cfg,
+            fps=batch["fps"], duration=batch["duration"],
+            feat_stride=batch["feat_stride"],
+            num_frames=batch["feat_num_frames"],
+        )
+        dets = {
+            "segments": segs, "scores": scores,
+            "labels": cls_idx, "valid": valid,
+        }
+        return dets, losses
+
+    def eval_step(state, batch):
+        return step(state, batch, int(batch["visual"].shape[1]))
+
+    return eval_step
