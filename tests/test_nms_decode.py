@@ -192,3 +192,23 @@ def test_map_evaluator(tmp_path):
     assert avg2 < 1.0
     np.testing.assert_allclose(mAP2[0], 1.0)  # tIoU 0.5 still perfect
     assert mAP2[-1] < 1.0
+
+
+def test_batched_nms_gather_path_matches_full(rng):
+    """The per-class top-k gather optimization must be exact when per-class
+    candidate counts fit the buffer."""
+    n, ncls = 200, 5
+    starts = rng.uniform(0, 300, n)
+    segs = jnp.asarray(
+        np.stack([starts, starts + rng.uniform(1, 30, n)], 1), jnp.float32
+    )
+    scores = jnp.asarray(rng.uniform(0.001, 1, n), jnp.float32)
+    cls = jnp.asarray(rng.integers(0, ncls, n), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=n) > 0.1)
+
+    kw = dict(num_classes=ncls, iou_threshold=0.7, min_score=0.001,
+              max_seg_num=50, use_soft_nms=True, multiclass=True, sigma=0.4)
+    full = batched_nms(segs, scores, cls, valid, per_class_topk=0, **kw)
+    fast = batched_nms(segs, scores, cls, valid, per_class_topk=64, **kw)
+    for a, b in zip(full, fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
