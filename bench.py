@@ -91,22 +91,27 @@ def main():
 
     eval_step = make_eval_step(model, cfg, use_ema=True)
 
-    # warm up / compile
-    dets, losses = eval_step(state, batch)
-    jax.block_until_ready(dets)
-
     # Timing protocol: inputs are device-resident; every iteration fetches
     # the full detection set back to the host (the real eval loop does both
     # transfers, but in this dev environment host<->device goes through the
     # axon tunnel at ~30 MB/s — two orders of magnitude below a production
     # PCIe link — so including H2D would benchmark the tunnel, not the
     # framework). D2H of detections is small and kept in the measurement.
+    # NB: warm up with the committed device batch — committed vs uncommitted
+    # inputs compile to different cache entries.
     dev_batch = jax.device_put(batch)
     jax.block_until_ready(list(dev_batch.values()))
+    dets, losses = eval_step(state, dev_batch)
+    jax.device_get(dets)  # hard fence: block_until_ready does not reliably
+                          # cover the axon runtime's async remote compile
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for it in range(iters):
+        t1 = time.perf_counter()
         dets, losses = eval_step(state, dev_batch)
         jax.device_get(dets)
+        if os.environ.get("BENCH_VERBOSE"):
+            print(f"iter {it}: {(time.perf_counter()-t1)*1e3:.0f} ms",
+                  file=sys.stderr, flush=True)
     dt = time.perf_counter() - t0
     vps = batch_size * iters / dt
 

@@ -1,0 +1,104 @@
+"""Training-step throughput benchmark (clips/sec/chip).
+
+Times the full jitted train step — on-device target construction, forward,
+backward, AdamW + schedule, EMA, loss-normalizer — at the reference protocol
+(batch 8, T=224, full model) on the available accelerator. Device-resident
+inputs (see bench.py for the dev-tunnel rationale).
+
+Usage: python tools/bench_train.py [--batch 8] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from unav_yolyolva_tpu.core.config import load_config_dict
+    from unav_yolyolva_tpu.models import build_model
+    from unav_yolyolva_tpu.parallel import make_mesh, shard_batch
+    from unav_yolyolva_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    b, t, c = args.batch, 224, 100
+    cfg = load_config_dict({
+        "dataset": {"max_seq_len": t, "num_classes": c, "max_num_events": 64},
+        "loader": {"batch_size": b},
+        "model": {
+            "use_abs_pe": True, "class_aware": True,
+            "intra_contr_weight": 1.0, "inter_contr_weight": 0.001,
+            "score_V_weight": 0.001, "score_A_weight": 0.001,
+        },
+        "opt": {"learning_rate": 1e-4, "epochs": 40, "warmup_epochs": 5,
+                "weight_decay": 1e-4},
+        "train_cfg": {"loss_weight": 1},
+    })
+    mesh = make_mesh()
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    host = np.random.default_rng(0)
+    batch = {
+        "visual": host.normal(size=(b, t, 2048)).astype(np.float32),
+        "audio": host.normal(size=(b, t, 128)).astype(np.float32),
+        "mask": np.ones((b, t), bool),
+        "gt_segments": np.tile(
+            np.float32([[10.0, 60.0], [100.0, 150.0]] + [[0, 0]] * 62),
+            (b, 1, 1),
+        ),
+        "gt_labels": np.tile(
+            np.int32([3, 7] + [0] * 62), (b, 1)
+        ),
+        "gt_valid": np.tile(
+            np.asarray([True, True] + [False] * 62), (b, 1)
+        ),
+    }
+    init_inputs = {
+        "visual": jnp.zeros((b, t, 2048)), "audio": jnp.zeros((b, t, 128)),
+        "mask": jnp.ones((b, t), bool), "m_scores": jnp.zeros((b, t)),
+        "m_start_end": jnp.zeros((b, t)), "m_labels": jnp.zeros((b, t, c)),
+    }
+    params = jax.jit(
+        lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
+    )(rng, init_inputs)
+    tx, _ = make_optimizer(params, cfg["opt"], 100)
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
+    train_step = make_train_step(model, tx, cfg, mesh=mesh)
+
+    db = shard_batch(batch, mesh)
+    state, losses = train_step(state, db, rng)  # compile
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, losses = train_step(state, db, rng)
+        float(losses["final_loss"])  # host sync each step (loss logging)
+    dt = time.perf_counter() - t0
+    cps = b * args.iters / dt
+    print(json.dumps({
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(cps, 3),
+        "unit": "clips/s",
+        "step_ms": round(dt / args.iters * 1e3, 1),
+        "devices": mesh.devices.size,
+    }))
+
+
+if __name__ == "__main__":
+    main()
