@@ -37,7 +37,13 @@ def main(args):
     cfg = load_config(args.config)
     assert len(cfg["test_split"]) > 0, "Test set must be specified!"
 
-    if os.path.exists(os.path.join(args.ckpt, "meta.json")):
+    torch_ckpt = None
+    if args.ckpt.endswith(".pth.tar"):
+        # a reference PyTorch checkpoint: convert its EMA weights in place
+        assert os.path.isfile(args.ckpt), "CKPT file does not exist!"
+        torch_ckpt = args.ckpt
+        ckpt_dir = None
+    elif os.path.exists(os.path.join(args.ckpt, "meta.json")):
         ckpt_dir = args.ckpt
     else:
         ckpt_dir = find_latest_checkpoint(args.ckpt)
@@ -76,8 +82,22 @@ def main(args):
     tx, _ = make_optimizer(params, cfg["opt"], 1)
     state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
 
-    print(f"=> loading checkpoint '{ckpt_dir}' (EMA weights)")
-    state = load_checkpoint(ckpt_dir, state)["state"]
+    if torch_ckpt is not None:
+        print(f"=> converting reference checkpoint '{torch_ckpt}' (EMA weights)")
+        import torch
+        from unav_yolyolva_tpu.utils.torch_convert import (
+            torch_state_dict_to_params,
+        )
+
+        ckpt = torch.load(torch_ckpt, map_location="cpu")
+        sd = ckpt.get("state_dict_ema", ckpt.get("state_dict"))
+        converted = torch_state_dict_to_params(
+            sd, arch=tuple(cfg["model"]["backbone_arch"])
+        )
+        state = state.replace(ema_params=converted)
+    else:
+        print(f"=> loading checkpoint '{ckpt_dir}' (EMA weights)")
+        state = load_checkpoint(ckpt_dir, state)["state"]
 
     det_eval, output_file = None, None
     if not args.saveonly:
@@ -87,7 +107,8 @@ def main(args):
             tiou_thresholds=val_dataset.get_attributes()["tiou_thresholds"],
         )
     else:
-        output_file = os.path.join(ckpt_dir, "eval_results.pkl")
+        out_root = ckpt_dir or os.path.dirname(torch_ckpt)
+        output_file = os.path.join(out_root, "eval_results.pkl")
 
     eval_step = make_eval_step(model, cfg, use_ema=True)
     print(f"\nStart testing model {cfg['model_name']} ...")

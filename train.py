@@ -36,6 +36,11 @@ def main(args):
     )
     from unav_yolyolva_tpu.utils import fix_random_seed
 
+    # multi-host data parallelism: same jitted program over DCN; activated
+    # by the standard JAX cluster env (coordinator address + process ids)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     if not os.path.isfile(args.config):
         raise ValueError("Config file does not exist.")
     cfg = load_config(args.config)

@@ -171,12 +171,16 @@ class FusionModule(nn.Module):
         # the guide is the other modality transposed: C tokens of width T
         guide = jnp.transpose(txt_feats, (0, 2, 1))  # (B, C, T)
 
+        # embed_channels equals the CSP mid width (n_embd/2; 256 at the
+        # flagship 512), so no embed_conv is instantiated — matching the
+        # reference's MaxSigmoidAttnBlock(mid, embed=256) with mid == 256
+        embed_ch = self.n_embd // 2
         top_down_layers = [
             MaxSigmoidCSPLayer(
                 in_channels=2 * self.n_embd,
                 out_channels=self.n_embd,
                 guide_in_features=self.seq_len,
-                embed_channels=256,
+                embed_channels=embed_ch,
                 num_heads=td_heads[i],
                 name=f"top_down_{i}",
             )
@@ -187,7 +191,7 @@ class FusionModule(nn.Module):
                 in_channels=2 * self.n_embd,
                 out_channels=self.n_embd,
                 guide_in_features=self.seq_len,
-                embed_channels=256,
+                embed_channels=embed_ch,
                 num_heads=bu_heads[i],
                 name=f"bottom_up_{i}",
             )

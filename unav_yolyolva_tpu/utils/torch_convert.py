@@ -35,6 +35,13 @@ DEAD_PREFIXES = (
     "backbone.fusion_module.projections.",
 )
 
+# aliases of shared-instance parameters: identical tensors the reference
+# state dict lists under several indices (import reads index 0)
+ALIAS_PREFIXES = tuple(
+    [f"alignment.multiway_list.{i}." for i in range(1, 8)]
+    + [f"backbone.fusion_module.downsample_layers.{i}." for i in range(1, 8)]
+)
+
 
 def _lin(w):  # torch Linear weight -> Dense kernel
     return np.ascontiguousarray(np.asarray(w).T)
@@ -322,7 +329,9 @@ def torch_state_dict_to_params(
     used = {t for t, _, _ in build_key_map(arch)}
     unused = [
         k for k in sd
-        if k not in used and not k.startswith(DEAD_PREFIXES)
+        if k not in used
+        and not k.startswith(DEAD_PREFIXES)
+        and not k.startswith(ALIAS_PREFIXES)
     ]
     if strict and unused:
         raise KeyError(f"{len(unused)} unmapped live keys, e.g. {unused[:5]}")
