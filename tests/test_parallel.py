@@ -31,8 +31,12 @@ def tiny_cfg():
             "head_dim": 16, "n_head": 4, "use_abs_pe": True,
             "class_aware": True,
         },
+        # SGD: the update is linear in the gradient, so cross-sharding
+        # equivalence can be asserted tightly. (AdamW's first step is
+        # lr*g/(|g|+eps), unboundedly sensitive to reduction order at g~0.)
         "opt": {"learning_rate": 1e-2, "epochs": 1, "warmup_epochs": 0,
-                "warmup": False},
+                "warmup": False, "type": "SGD", "momentum": 0.9,
+                "weight_decay": 0.0},
         "train_cfg": {"loss_weight": 1, "droppath": 0.0},
     })
 

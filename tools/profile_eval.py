@@ -20,15 +20,21 @@ import numpy as np
 
 
 def timed(fn, *args, iters=5):
+    """Per-iteration host fetch: on the axon runtime block_until_ready does
+    not fence the async remote compile/execute reliably."""
     import jax
+    import numpy as _np
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    def fence(out):
+        _np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+
+    fence(fn(*args))
+    ts = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        fence(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def main():
