@@ -212,3 +212,9 @@ def test_batched_nms_gather_path_matches_full(rng):
     fast = batched_nms(segs, scores, cls, valid, per_class_topk=64, **kw)
     for a, b in zip(full, fast):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    # the Pallas VMEM-scan backend (interpret mode on CPU) must match too
+    pal = batched_nms(segs, scores, cls, valid, per_class_topk=64,
+                      backend="pallas", **kw)
+    for a, b in zip(fast, pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

@@ -115,23 +115,36 @@ def postprocess_batch(
     method = test_cfg["nms_method"]
 
     if method != "none":
-        def run(s, sc, ci, v):
-            return nms_ops.batched_nms(
-                s, sc, ci, v,
-                num_classes=num_classes,
-                iou_threshold=test_cfg["iou_threshold"],
-                min_score=test_cfg["min_score"],
+        use_pallas = jax.default_backend() != "cpu"
+        if method == "soft" and test_cfg["multiclass_nms"] and use_pallas:
+            # whole-batch merged class-masked pallas scan: videos ride the
+            # kernel row axis directly (see ops/nms.py:multiclass_nms_batch)
+            segs, scores, cls_idxs, valid = nms_ops.multiclass_nms_batch(
+                segs, scores, cls_idxs, valid,
                 max_seg_num=test_cfg["max_seg_num"],
-                use_soft_nms=(method == "soft"),
-                multiclass=test_cfg["multiclass_nms"],
+                iou_threshold=test_cfg["iou_threshold"],
                 sigma=test_cfg["nms_sigma"],
-                voting_thresh=test_cfg["voting_thresh"],
+                min_score=test_cfg["min_score"],
                 method=nms_ops.NMS_GAUSSIAN,
             )
+        else:
+            def run(s, sc, ci, v):
+                return nms_ops.batched_nms(
+                    s, sc, ci, v,
+                    num_classes=num_classes,
+                    iou_threshold=test_cfg["iou_threshold"],
+                    min_score=test_cfg["min_score"],
+                    max_seg_num=test_cfg["max_seg_num"],
+                    use_soft_nms=(method == "soft"),
+                    multiclass=test_cfg["multiclass_nms"],
+                    sigma=test_cfg["nms_sigma"],
+                    voting_thresh=test_cfg["voting_thresh"],
+                    method=nms_ops.NMS_GAUSSIAN,
+                )
 
-        segs, scores, cls_idxs, valid = jax.vmap(run)(
-            segs, scores, cls_idxs, valid
-        )
+            segs, scores, cls_idxs, valid = jax.vmap(run)(
+                segs, scores, cls_idxs, valid
+            )
 
     # grid -> seconds: (seg * stride + 0.5 * nframes) / fps, clamp [0, dur]
     segs = (
