@@ -78,12 +78,17 @@ def main():
         lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
     )(rng, init_inputs)
     tx, _ = make_optimizer(params, cfg["opt"], 100)
-    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
+                               mesh=mesh)
     train_step = make_train_step(model, tx, cfg, mesh=mesh)
 
     db = shard_batch(batch, mesh)
-    state, losses = train_step(state, db, rng)  # compile
-    jax.block_until_ready(losses)
+    # warm up TWO steps: the first compiles; the second flushes the axon
+    # runtime's deferred first-execution work so the loop below measures
+    # steady state
+    for _ in range(2):
+        state, losses = train_step(state, db, rng)
+        float(losses["final_loss"])
 
     t0 = time.perf_counter()
     for _ in range(args.iters):

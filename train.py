@@ -121,7 +121,8 @@ def main(args):
         params, cfg["opt"], len(train_batcher),
         clip_grad_l2norm=cfg["train_cfg"]["clip_grad_l2norm"],
     )
-    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
+                               mesh=mesh)
 
     start_epoch = 0
     if args.resume:
