@@ -22,6 +22,7 @@ def main(args):
     from unav_yolyolva_tpu.data import UnAV100Dataset, make_batcher
     from unav_yolyolva_tpu.eval.metrics import ANETdetection
     from unav_yolyolva_tpu.models import build_model
+    from unav_yolyolva_tpu.parallel import make_mesh
     from unav_yolyolva_tpu.train import (
         create_train_state,
         load_checkpoint,
@@ -56,6 +57,9 @@ def main(args):
 
     rng = fix_random_seed(0)
 
+    # batch-sharded DP eval over the device mesh (ref eval.py:61 DataParallel)
+    mesh = make_mesh(cfg["tpu"]["num_devices"])
+
     val_dataset = UnAV100Dataset(False, cfg["test_split"], **cfg["dataset"])
     if len(val_dataset) == 0:
         raise ValueError(
@@ -80,7 +84,8 @@ def main(args):
         lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
     )(rng, dummy)
     tx, _ = make_optimizer(params, cfg["opt"], 1)
-    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
+                               mesh=mesh)
 
     if torch_ckpt is not None:
         print(f"=> converting reference checkpoint '{torch_ckpt}' (EMA weights)")
@@ -110,12 +115,12 @@ def main(args):
         out_root = ckpt_dir or os.path.dirname(torch_ckpt)
         output_file = os.path.join(out_root, "eval_results.pkl")
 
-    eval_step = make_eval_step(model, cfg, use_ema=True)
+    eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
     print(f"\nStart testing model {cfg['model_name']} ...")
     start = time.time()
     mAP, _ = valid_one_epoch(
         state, val_batcher, eval_step, -1,
-        evaluator=det_eval, output_file=output_file,
+        mesh=mesh, evaluator=det_eval, output_file=output_file,
         ext_score_file=cfg["test_cfg"]["ext_score_file"],
         print_freq=args.print_freq,
     )

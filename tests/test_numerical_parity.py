@@ -1,0 +1,282 @@
+"""Numerical forward/loss parity against the ACTUAL reference model.
+
+Builds the reference PtTransformer (`/root/reference/libs/modeling/
+multimodal_meta_archs.py:262-520`) with its own config, runs its forward in
+eval mode on a fixed random batch, converts its random-init state dict with
+`torch_convert`, runs our flax model on the identical (transposed) batch, and
+asserts activation-level agreement:
+
+  * per-level `out_cls_logits` and `out_offsets` (the detector outputs that
+    feed decode + NMS + mAP),
+  * every loss component of `losses()` (meta_archs.py:607-686) including the
+    contrastive and per-frame score losses and the loss-normalizer update,
+  * at T=224 with near-full lengths (the train shape) and at T=224 with
+    heavily masked short videos (the eval situation: the reference collate
+    pads EVERY eval batch up to exactly max_seq_len, data_utils.py:171-173).
+    NB: T != 224 is IMPOSSIBLE in the reference — its fusion guide width is
+    hard-wired to max_seq_len (guide_fc Linear(in=224) and match_projection
+    Conv1d(12, 224), multimodal_backbones.py:549,152) and it crashes with a
+    matmul shape error on any other length (verified in this environment at
+    T=192 and T=256). Our pipeline pads/truncates every eval batch to
+    max_seq_len accordingly (data/pipeline.py:collate).
+
+This is the demonstration (not just assertion) that every replicated quirk —
+shared MultiWay/fusion/downsample instances, the 1.28 frame-target divisor,
+the double CLS strip, the raw NCE logit scale, last-write-wins assignment —
+is numerically right.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE), reason="reference tree not mounted"
+    ),
+    pytest.mark.slow,
+]
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    """Reference model (random torch init), eval mode, with mmengine shim."""
+    import torch
+    import torch.nn as nn
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    mm = types.ModuleType("mmengine")
+    mmm = types.ModuleType("mmengine.model")
+    mmm.BaseModule = BaseModule
+    mm.model = mmm
+    sys.modules.setdefault("mmengine", mm)
+    sys.modules.setdefault("mmengine.model", mmm)
+    sys.modules.setdefault("nms_1d_cpu", types.ModuleType("nms_1d_cpu"))
+    sys.path.insert(0, REFERENCE)
+    try:
+        from libs.core import load_config as ref_load
+        from libs.modeling import make_multimodal_meta_arch
+
+        cfg = ref_load(os.path.join(REFERENCE, "configs/avel_unav100_eval.yaml"))
+        torch.manual_seed(0)
+        model = make_multimodal_meta_arch(cfg["model_name"], **cfg["model"])
+    finally:
+        sys.path.remove(REFERENCE)
+    model.eval()
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def our_model():
+    from unav_yolyolva_tpu.core.config import load_config_dict
+    from unav_yolyolva_tpu.models import build_model
+
+    cfg = load_config_dict({
+        "dataset": {"max_seq_len": 224, "num_classes": 100},
+        "model": {
+            "use_abs_pe": True, "class_aware": True,
+            "intra_contr_weight": 1.0, "inter_contr_weight": 0.001,
+            "score_V_weight": 0.001, "score_A_weight": 0.001,
+        },
+        "train_cfg": {"loss_weight": 1},
+    })
+    return build_model(cfg), cfg
+
+
+def _make_batch(t: int, lengths, seed: int = 0):
+    """Fixed random batch: features, masks, synthetic GT events (grid units),
+    and our on-device dense targets (oracle-tested in tests/test_geometry.py),
+    which are fed IDENTICALLY to both implementations."""
+    import jax.numpy as jnp
+
+    from unav_yolyolva_tpu.geometry.assign import (
+        assign_labels_batch,
+        frame_targets_batch,
+    )
+    from unav_yolyolva_tpu.geometry.points import concat_points, generate_points
+
+    rng = np.random.default_rng(seed)
+    b = len(lengths)
+    n_ev = 8
+    visual = rng.normal(size=(b, t, 2048)).astype(np.float32)
+    audio = rng.normal(size=(b, t, 128)).astype(np.float32)
+    mask = np.zeros((b, t), bool)
+    segs = np.zeros((b, n_ev, 2), np.float32)
+    labels = np.zeros((b, n_ev), np.int32)
+    valid = np.zeros((b, n_ev), bool)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = True
+        # 3 events inside the valid window, in grid units
+        for j in range(3):
+            start = rng.uniform(0, ln * 0.6)
+            dur = rng.uniform(2.0, ln * 0.3)
+            segs[i, j] = (start, min(start + dur, ln - 1.0))
+            labels[i, j] = rng.integers(0, 100)
+            valid[i, j] = True
+
+    reg_range = [(0, 4), (4, 8), (8, 16), (16, 32), (32, 64), (64, 10000)]
+    points = concat_points(generate_points(t, reg_range, 2))
+    m_scores, m_start_end, m_labels = frame_targets_batch(
+        jnp.asarray(segs), jnp.asarray(labels), jnp.asarray(valid), t, 100
+    )
+    gt_cls, gt_reg = assign_labels_batch(
+        jnp.asarray(points), jnp.asarray(segs), jnp.asarray(labels),
+        jnp.asarray(valid), 100, True,
+    )
+    return {
+        "visual": visual, "audio": audio, "mask": mask,
+        "m_scores": np.asarray(m_scores), "m_start_end": np.asarray(m_start_end),
+        "m_labels": np.asarray(m_labels),
+        "gt_cls": np.asarray(gt_cls), "gt_reg": np.asarray(gt_reg),
+    }
+
+
+def _ref_forward(ref, batch):
+    """Replicates the reference eval-mode forward body up to losses()
+    (multimodal_meta_archs.py:426-520) — stopping before inference(), which
+    needs the compiled C++ NMS module."""
+    import torch
+
+    model, _ = ref
+    tv = torch.from_numpy(np.transpose(batch["visual"], (0, 2, 1)))
+    ta = torch.from_numpy(np.transpose(batch["audio"], (0, 2, 1)))
+    tm = torch.from_numpy(batch["mask"][:, None, :])
+    tsc = torch.from_numpy(batch["m_scores"])
+    tse = torch.from_numpy(batch["m_start_end"])
+    tml = torch.from_numpy(batch["m_labels"])
+    gt_cls = torch.from_numpy(batch["gt_cls"])
+    gt_off = torch.from_numpy(batch["gt_reg"])
+
+    model.loss_normalizer = 250.0  # init_loss_norm (ref config.py:81)
+    with torch.no_grad():
+        fv, fa, pairs = model.alignment(
+            video=[tv], text=[ta], mask_video=[tm], mask_text=[tm],
+            m_start_end=tse, m_scores_gt=tsc, m_labels=tml,
+        )
+        feats_v, feats_a, masks = model.backbone(fv[0], fa[0], tm)
+        feats_av = [torch.cat((v, a), 1) for v, a in zip(feats_v, feats_a)]
+        out_cls = model.cls_head(feats_av, masks)
+        out_off = model.reg_head(feats_av, masks)
+        out_cls = [x.permute(0, 2, 1) for x in out_cls]
+        out_off = [
+            x.permute(0, 2, 1).reshape(x.shape[0], x.shape[2], 100, 2)
+            for x in out_off
+        ]
+        fpn_masks = [x.squeeze(1) for x in masks]
+        losses = model.losses(
+            fpn_masks, out_cls, out_off, gt_cls, gt_off, pairs
+        )
+    return (
+        [x.numpy() for x in out_cls],
+        [x.numpy() for x in out_off],
+        {k: float(v) for k, v in losses.items()},
+        float(model.loss_normalizer),
+    )
+
+
+def _our_forward(our, ref, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from unav_yolyolva_tpu.models.meta_arch import compute_losses
+    from unav_yolyolva_tpu.utils.torch_convert import torch_state_dict_to_params
+
+    model, cfg = our
+    ref_model, _ = ref
+    params = torch_state_dict_to_params(ref_model.state_dict(), strict=True)
+    inputs = {
+        "visual": jnp.asarray(batch["visual"]),
+        "audio": jnp.asarray(batch["audio"]),
+        "mask": jnp.asarray(batch["mask"]),
+        "m_scores": jnp.asarray(batch["m_scores"]),
+        "m_start_end": jnp.asarray(batch["m_start_end"]),
+        "m_labels": jnp.asarray(batch["m_labels"]),
+    }
+    out = jax.jit(lambda p, x: model.apply(p, x, train=False))(params, inputs)
+    mcfg = cfg["model"]
+    losses, new_norm = compute_losses(
+        out, jnp.asarray(batch["gt_cls"]), jnp.asarray(batch["gt_reg"]),
+        jnp.float32(250.0),
+        class_aware=True,
+        loss_weight=cfg["train_cfg"]["loss_weight"],
+        inter_weight=mcfg["inter_contr_weight"],
+        intra_weight=mcfg["intra_contr_weight"],
+        score_v_weight=mcfg["score_V_weight"],
+        score_a_weight=mcfg["score_A_weight"],
+        label_smoothing=cfg["train_cfg"]["label_smoothing"],
+    )
+    cls_np = [np.asarray(x) for x in out["cls_logits"]]
+    off_np = [np.asarray(x) for x in out["offsets"]]
+    loss_np = {k: float(v) for k, v in losses.items()}
+    return cls_np, off_np, loss_np, float(new_norm)
+
+
+@pytest.fixture(scope="module")
+def parity_224(ref_model, our_model):
+    batch = _make_batch(224, lengths=[224, 197], seed=0)
+    return _ref_forward(ref_model, batch), _our_forward(
+        our_model, ref_model, batch
+    )
+
+
+@pytest.fixture(scope="module")
+def parity_masked(ref_model, our_model):
+    # short videos padded to the full train shape: deep masking of convs,
+    # attention, PE, frame targets, and the contrastive length budgets
+    batch = _make_batch(224, lengths=[150, 100], seed=1)
+    return _ref_forward(ref_model, batch), _our_forward(
+        our_model, ref_model, batch
+    )
+
+
+def _assert_levels_close(ref_list, our_list, what, rtol=2e-4, atol=2e-4):
+    assert len(ref_list) == len(our_list)
+    for lvl, (r, o) in enumerate(zip(ref_list, our_list)):
+        np.testing.assert_allclose(
+            o, r, rtol=rtol, atol=atol,
+            err_msg=f"{what} level {lvl} (shape {r.shape})",
+        )
+
+
+class TestParity224:
+    def test_cls_logits(self, parity_224):
+        (ref_cls, _, _, _), (our_cls, _, _, _) = parity_224
+        _assert_levels_close(ref_cls, our_cls, "cls_logits")
+
+    def test_offsets(self, parity_224):
+        (_, ref_off, _, _), (_, our_off, _, _) = parity_224
+        _assert_levels_close(ref_off, our_off, "offsets")
+
+    def test_losses(self, parity_224):
+        (_, _, ref_losses, ref_norm), (_, _, our_losses, our_norm) = parity_224
+        for k, rv in ref_losses.items():
+            assert k in our_losses, k
+            np.testing.assert_allclose(
+                our_losses[k], rv, rtol=1e-3, atol=1e-5, err_msg=k
+            )
+        np.testing.assert_allclose(our_norm, ref_norm, rtol=1e-6)
+
+
+class TestParityHeavyMasking:
+    def test_cls_logits(self, parity_masked):
+        (ref_cls, _, _, _), (our_cls, _, _, _) = parity_masked
+        _assert_levels_close(ref_cls, our_cls, "cls_logits")
+
+    def test_offsets(self, parity_masked):
+        (_, ref_off, _, _), (_, our_off, _, _) = parity_masked
+        _assert_levels_close(ref_off, our_off, "offsets")
+
+    def test_losses(self, parity_masked):
+        (_, _, ref_losses, _), (_, _, our_losses, _) = parity_masked
+        for k, rv in ref_losses.items():
+            np.testing.assert_allclose(
+                our_losses[k], rv, rtol=1e-3, atol=1e-5, err_msg=k
+            )

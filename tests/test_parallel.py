@@ -102,3 +102,67 @@ def test_sharded_step_matches_single_device(n_dev):
         for a, b in zip(flat1, flatn)
     )
     assert worst < 1e-4, f"params diverged across shardings: {worst}"
+
+
+@pytest.mark.parametrize("n_dev", [4])
+def test_sharded_eval_matches_single_device(n_dev):
+    """Batch-sharded eval (decode + NMS on device) must produce the same
+    detections as the single-device run (ref eval.py:61 DataParallel eval)."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    from unav_yolyolva_tpu.train import make_eval_step
+
+    cfg = tiny_cfg()
+    cfg["test_cfg"].update(
+        {"pre_nms_topk": 50, "max_seg_num": 10, "min_score": 0.001}
+    )
+    cfg["model"]["test_cfg"] = cfg["test_cfg"]
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    b = 4
+    batch = make_np_batch(b)
+    # de-duplicate rows so per-device shards see different data
+    batch["visual"] += np.random.default_rng(7).normal(
+        size=batch["visual"].shape
+    ).astype(np.float32)
+    batch.update({
+        "fps": np.full((b,), 25.0, np.float32),
+        "duration": np.full((b,), 18.0, np.float32),
+        "feat_stride": np.full((b,), 8.0, np.float32),
+        "feat_num_frames": np.full((b,), 24.0, np.float32),
+    })
+    dummy = {
+        "visual": jnp.asarray(batch["visual"]),
+        "audio": jnp.asarray(batch["audio"]),
+        "mask": jnp.asarray(batch["mask"]),
+        "m_scores": jnp.zeros((b, T)),
+        "m_start_end": jnp.zeros((b, T)),
+        "m_labels": jnp.zeros((b, T, NCLS)),
+    }
+    params = jax.jit(
+        lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
+    )(rng, dummy)
+    tx, _ = make_optimizer(params, cfg["opt"], 10)
+
+    def run(mesh):
+        state = create_train_state(
+            jax.tree.map(jnp.array, params), tx, 250.0, mesh=mesh
+        )
+        step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
+        db = shard_batch(batch, mesh) if mesh else batch
+        dets, losses = step(state, db)
+        return jax.device_get(dets), {k: float(v) for k, v in losses.items()}
+
+    d1, l1 = run(make_mesh(1))
+    dn, ln = run(make_mesh(n_dev))
+
+    np.testing.assert_allclose(l1["final_loss"], ln["final_loss"], rtol=1e-4)
+    np.testing.assert_array_equal(d1["valid"], dn["valid"])
+    ok = d1["valid"]
+    np.testing.assert_array_equal(d1["labels"][ok], dn["labels"][ok])
+    np.testing.assert_allclose(
+        d1["segments"][ok], dn["segments"][ok], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        d1["scores"][ok], dn["scores"][ok], rtol=1e-4, atol=1e-5
+    )

@@ -104,12 +104,50 @@ def make_fake_batch(batch_size: int, t: int, num_classes: int):
     }
 
 
+def bench_train(model, cfg, batch_size: int, iters: int):
+    """The reference train step: forward (train mode) -> final_loss.backward()
+    -> grad clip -> AdamW step -> EMA update (train_utils.py:278-301)."""
+    import torch
+    from libs.utils import make_optimizer as ref_make_optimizer
+    from libs.utils.train_utils import ModelEma
+
+    model.train()
+    optimizer = ref_make_optimizer(model, cfg["opt"])
+    ema = ModelEma(model)
+    batch = make_fake_batch(batch_size, 224, cfg["model"]["num_classes"])
+
+    def step():
+        optimizer.zero_grad(set_to_none=True)
+        losses = model(batch)
+        losses["final_loss"].backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        optimizer.step()
+        ema.update(model)
+
+    t0 = time.perf_counter()
+    step()
+    print(f"train warmup step: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    cps = batch_size * iters / dt
+    print(f"reference PyTorch-CPU train: {cps:.3f} clips/s "
+          f"({dt / iters:.1f} s / step of {batch_size})")
+    model.eval()
+    return cps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--threads", type=int, default=0,
                     help="torch threads (0 = default)")
+    ap.add_argument("--train", action="store_true",
+                    help="also measure the train step (batch 8, the "
+                    "reference train protocol)")
+    ap.add_argument("--train-batch", type=int, default=8)
     args = ap.parse_args()
 
     import torch
@@ -145,7 +183,11 @@ def main():
           f"({dt / args.iters:.1f} s / batch of {args.batch})")
 
     out_path = os.path.join(REPO, "BASELINE_MEASURED.json")
-    payload = {
+    payload = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+    payload.update({
         "pytorch_cpu_eval_videos_per_sec": round(vps, 4),
         "batch_size": args.batch,
         "iters": args.iters,
@@ -156,7 +198,17 @@ def main():
             "synthetic T=224 batches, this host's CPU. Measured by "
             "tools/bench_reference_cpu.py."
         ),
-    }
+    })
+    if args.train:
+        cps = bench_train(model, cfg, args.train_batch, args.iters)
+        payload.update({
+            "pytorch_cpu_train_clips_per_sec": round(cps, 4),
+            "train_batch_size": args.train_batch,
+            "train_note": (
+                "Reference train step (fwd train-mode + backward + clip + "
+                "AdamW + EMA) on synthetic T=224 batches, this host's CPU."
+            ),
+        })
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(f"wrote {out_path}")

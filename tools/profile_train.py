@@ -21,14 +21,21 @@ def fence(out):
     np.asarray(jax.tree.leaves(out)[0].ravel()[0])
 
 
-def timed(fn, *args, iters=3):
-    fence(fn(*args))
-    ts = []
+def timed(fn, *args, iters=20):
+    """Pipelined device-throughput timing.
+
+    Dispatches `iters` calls back-to-back and fences ONCE: TPU programs
+    execute in submission order, so total/iters is the per-call device time.
+    Fencing every call instead would measure the host<->device round-trip
+    (~100 ms through this environment's axon tunnel) rather than compute.
+    """
+    fence(fn(*args))  # compile + warm
+    out = None
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        fence(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        out = fn(*args)  # previous out's buffers free once executed
+    fence(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -51,6 +58,7 @@ def main():
             "score_V_weight": 0.001, "score_A_weight": 0.001,
         },
         "train_cfg": {"loss_weight": 1},
+        "tpu": {"compute_dtype": os.environ.get("BENCH_DTYPE", "float32")},
     })
     mcfg = cfg["model"]
     model = build_model(cfg)

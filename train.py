@@ -73,6 +73,10 @@ def main(args):
 
     mesh = make_mesh(cfg["tpu"]["num_devices"])
     num_shards = mesh.devices.size
+    assert cfg["loader"]["batch_size"] % num_shards == 0, (
+        f"batch_size {cfg['loader']['batch_size']} must divide over "
+        f"{num_shards} data-parallel shards"
+    )
     # LR scaled by number of data-parallel shards (train.py:80)
     cfg["opt"]["learning_rate"] *= num_shards
 
@@ -133,14 +137,36 @@ def main(args):
     with open(os.path.join(ckpt_folder, "config.txt"), "w") as fid:
         pprint(cfg, stream=fid)
 
-    train_step = make_train_step(model, tx, cfg, mesh=mesh)
-    eval_step = make_eval_step(model, cfg, use_ema=True)
+    # wandb experiment logging, gated exactly like the reference
+    # (train.py:181-189: enabled unless a debugger is attached) and
+    # additionally on wandb being importable in this environment
+    from unav_yolyolva_tpu.utils import debugger_is_active
 
-    max_epochs = cfg["opt"]["epochs"] + cfg["opt"]["warmup_epochs"]
+    wandb_run = None
+    if not debugger_is_active():
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project="DEL_UnAV",
+                group="training_alignment_contrastive_yolyolVA_tpu",
+                name=model_name,
+                config=vars(args),
+            )
+        except Exception:
+            wandb_run = None
+
+    train_step = make_train_step(model, tx, cfg, mesh=mesh)
+    eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
+
+    # early_stop_epochs overrides the full schedule length (ref train.py:195)
+    max_epochs = cfg["opt"].get(
+        "early_stop_epochs", cfg["opt"]["epochs"] + cfg["opt"]["warmup_epochs"]
+    )
     best_mAP = 0.0
     print(f"\nStart training model {cfg['model_name']} ...")
     for epoch in range(start_epoch, max_epochs):
-        state, _ = train_one_epoch(
+        state, train_stats = train_one_epoch(
             state, train_batcher, train_step, rng, epoch,
             mesh=mesh, tb_writer=tb_writer, print_freq=args.print_freq,
             schedule=schedule,
@@ -150,15 +176,24 @@ def main(args):
         ):
             if cfg["train_cfg"]["evaluate"]:
                 t0 = time.time()
-                avg_mAP, _ = valid_one_epoch(
+                avg_mAP, val_losses = valid_one_epoch(
                     state, val_batcher, eval_step, epoch,
-                    evaluator=det_eval, tb_writer=tb_writer,
+                    mesh=mesh, evaluator=det_eval, tb_writer=tb_writer,
                     print_freq=args.print_freq,
                 )
                 print(f"evaluation done! Total time: {time.time() - t0:0.2f} sec")
                 if avg_mAP > best_mAP:
                     best_mAP = avg_mAP
                     save_checkpoint(state, epoch, ckpt_folder, is_best=True)
+                if wandb_run is not None:
+                    wandb_run.log(
+                        {"val_epoch_mAP": avg_mAP}, step=epoch
+                    )
+        if wandb_run is not None:
+            wandb_run.log(
+                {f"train_epoch_{k}": v for k, v in train_stats.items()},
+                step=epoch,
+            )
         if (epoch == max_epochs - 1) or (
             args.ckpt_freq > 0 and epoch % args.ckpt_freq == 0 and epoch > 0
         ):
@@ -166,9 +201,28 @@ def main(args):
                 state, epoch, ckpt_folder, file_name=f"epoch_{epoch:03d}"
             )
 
+    # reload the best checkpoint and re-evaluate it (ref train.py:274-300).
+    # Quirk parity: the reference loads `state_dict` (the RAW weights, not the
+    # EMA) for this final pass, unlike eval.py which always uses the EMA.
+    best_dir = os.path.join(ckpt_folder, "model_best")
+    if cfg["train_cfg"]["evaluate"] and os.path.isdir(best_dir):
+        print("Loading the best model ...")
+        restored = load_checkpoint(best_dir, state)
+        final_eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=False)
+        print(f"\nStart evaluating model {cfg['model_name']} ...")
+        t0 = time.time()
+        valid_one_epoch(
+            restored["state"], val_batcher, final_eval_step,
+            restored["epoch"], mesh=mesh, evaluator=det_eval,
+            tb_writer=tb_writer, print_freq=args.print_freq,
+        )
+        print(f"evaluation done! Total time: {time.time() - t0:0.2f} sec")
+
     print(f"Best mAP: {best_mAP:0.4f}")
     if tb_writer is not None:
         tb_writer.close()
+    if wandb_run is not None:
+        wandb_run.finish()
     print("All done!")
 
 

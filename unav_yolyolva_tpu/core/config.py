@@ -8,8 +8,8 @@ Semantics match the reference config system (`/root/reference/libs/core/config.p
     (num_classes / max_seq_len / backbone_arch / regression_range /
     class_aware / scale_factor / train_cfg / test_cfg).
 
-TPU-specific additions live under the "tpu" section (mesh shape, compute
-dtype, bucketing) and default to single-chip behaviour.
+TPU-specific additions live under the "tpu" section (mesh size, compute
+dtype, NMS candidate budget) and default to single-chip behaviour.
 """
 
 from __future__ import annotations
@@ -40,7 +40,9 @@ DEFAULTS: Dict[str, Any] = {
         "num_classes": 100,
         "downsample_rate": 1,
         "max_seq_len": 224,
-        "max_buffer_len_factor": 1.0,
+        # (the reference's `max_buffer_len_factor` over-allocates its point
+        # buffers, loc_generators.py:46; our point grids are generated
+        # per compiled shape, so no buffer knob exists here)
         "trunc_thresh": 0.5,
         "crop_ratio": [0.9, 1.0],
         # maximum number of GT events per (possibly truncated) video after
@@ -125,14 +127,14 @@ DEFAULTS: Dict[str, Any] = {
     "tpu": {
         # number of data-parallel shards; -1 = use all visible devices
         "num_devices": -1,
-        # parameter / activation compute dtypes ("float32" | "bfloat16")
-        "param_dtype": "float32",
+        # activation compute dtype ("float32" | "bfloat16"); parameters,
+        # LayerNorm statistics, softmax accumulation, head logits and losses
+        # always stay float32 (models/meta_arch.py compute_dtype)
         "compute_dtype": "float32",
-        # eval sequence-length buckets are rounded up to a multiple of this
-        # (must itself be a multiple of the max pyramid stride, 32)
-        "eval_bucket_multiple": 32,
-        # on-device NMS candidate budget (total across pyramid levels)
-        "nms_max_candidates": 4096,
+        # global cap on decoded candidates entering NMS (top-k by score after
+        # the per-level pre_nms_topk); 0 keeps the reference's full candidate
+        # set (eval/decode.py max_candidates)
+        "nms_max_candidates": 0,
     },
 }
 

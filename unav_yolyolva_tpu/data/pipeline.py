@@ -19,8 +19,12 @@ gt_* inside the step (geometry/assign.py) — the reference's collate extras
 and worker-side label assignment loops have no host-side counterpart here.
 
 T policy matches the reference: training always pads to max_seq_len; eval
-pads to max(max_seq_len, next multiple of max_div_factor), additionally
-rounded to `bucket_multiple` to bound the number of XLA compilations.
+ALSO pads every batch to exactly max_seq_len (reference collate rounds short
+eval batches UP to max_seq_len, data_utils.py:171-173) — so the eval step
+compiles exactly once. Inputs longer than max_seq_len are truncated: the
+reference's fusion guide width is architecturally hard-wired to max_seq_len
+(multimodal_backbones.py:549,152) and the reference CRASHES outright on such
+inputs (UnAV-100's 60 s cap means its data never reaches that).
 """
 
 from __future__ import annotations
@@ -50,7 +54,6 @@ def collate(
     max_num_events: int,
     max_div_factor: int,
     training: bool,
-    bucket_multiple: int = 32,
 ) -> Dict:
     lens = np.asarray([it["visual"].shape[0] for it in items])
     max_len = int(lens.max())
@@ -58,9 +61,13 @@ def collate(
         assert max_len <= max_seq_len, "train inputs must fit max_seq_len"
         t = max_seq_len
     else:
-        t = eval_seq_len(max_len, max_seq_len, max_div_factor)
-        if t > max_seq_len:
-            t = -(-t // bucket_multiple) * bucket_multiple
+        # eval pads every batch to exactly max_seq_len (ref data_utils.py:
+        # 171-173 rounds short batches UP to max_seq_len; the fusion guide
+        # width is hard-wired to it). Longer inputs, which CRASH the
+        # reference, are truncated (pad_to slices) — decode clamps the
+        # resulting segments to the true duration.
+        t = min(eval_seq_len(max_len, max_seq_len, max_div_factor),
+                max_seq_len)
 
     b = len(items)
     visual = np.stack([pad_to(it["visual"], t) for it in items])
@@ -112,7 +119,6 @@ class Batcher:
         *,
         max_num_events: int = 64,
         max_div_factor: int = 32,
-        bucket_multiple: int = 32,
         shuffle: bool = True,
         drop_last: bool = True,
         seed: int = 0,
@@ -123,7 +129,6 @@ class Batcher:
         self.batch_size = batch_size
         self.max_num_events = max_num_events
         self.max_div_factor = max_div_factor
-        self.bucket_multiple = bucket_multiple
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -171,7 +176,6 @@ class Batcher:
                     max_num_events=self.max_num_events,
                     max_div_factor=self.max_div_factor,
                     training=self.dataset.is_training,
-                    bucket_multiple=self.bucket_multiple,
                 )
                 out_q.put((bi, batch))
 
@@ -207,7 +211,6 @@ def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batche
         cfg["loader"]["batch_size"],
         max_num_events=cfg["dataset"].get("max_num_events", 64),
         max_div_factor=max_div,
-        bucket_multiple=cfg.get("tpu", {}).get("eval_bucket_multiple", 32),
         shuffle=is_training,
         drop_last=is_training,
         seed=seed,

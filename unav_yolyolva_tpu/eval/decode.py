@@ -30,11 +30,15 @@ def decode_single_video(
     pre_nms_topk: int,
     duration_thresh: float,
     class_aware: bool,
+    max_candidates: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Per-level filter + top-k + offset decode for one video.
 
     Returns concatenated (segs (K, 2), scores (K,), cls (K,), valid (K,))
-    with K = sum over levels of min(pre_nms_topk, T_l * C).
+    with K = sum over levels of min(pre_nms_topk, T_l * C); if
+    `max_candidates` > 0 the concatenation is additionally reduced to the
+    global top-`max_candidates` by score (tpu.nms_max_candidates — caps the
+    downstream NMS scan length; 0 preserves the reference candidate set).
     """
     segs_all, scores_all, cls_all, valid_all = [], [], [], []
     for cls_i, off_i, mask_i, pts_i in zip(cls_logits, offsets, masks, points):
@@ -64,12 +68,17 @@ def decode_single_video(
         cls_all.append(cls_idx)
         valid_all.append(keep)
 
-    return (
-        jnp.concatenate(segs_all),
-        jnp.concatenate(scores_all),
-        jnp.concatenate(cls_all).astype(jnp.int32),
-        jnp.concatenate(valid_all),
-    )
+    segs = jnp.concatenate(segs_all)
+    scores = jnp.concatenate(scores_all)
+    cls = jnp.concatenate(cls_all).astype(jnp.int32)
+    valid = jnp.concatenate(valid_all)
+    if 0 < max_candidates < scores.shape[0]:
+        ranked = jnp.where(valid, scores, -1.0)
+        _, idx = jax.lax.top_k(ranked, max_candidates)
+        segs, scores, cls, valid = (
+            segs[idx], scores[idx], cls[idx], valid[idx]
+        )
+    return segs, scores, cls, valid
 
 
 def decode_predictions(
@@ -77,6 +86,7 @@ def decode_predictions(
     points: Sequence[np.ndarray],
     test_cfg: Dict,
     class_aware: bool = True,
+    max_candidates: int = 0,
 ):
     """vmap decode over the batch. `points` are static per-level host arrays."""
     points_j = [jnp.asarray(p) for p in points]
@@ -88,6 +98,7 @@ def decode_predictions(
             pre_nms_topk=test_cfg["pre_nms_topk"],
             duration_thresh=test_cfg["duration_thresh"],
             class_aware=class_aware,
+            max_candidates=max_candidates,
         )
 
     return jax.vmap(single)(

@@ -73,10 +73,17 @@ def assign_labels(
 
         # per-(point, class) regression target: the reference's scatter loop
         # (unav100.py:240-245) writes events in index order, so the LAST
-        # matching event of each class wins.
-        sel = ok[:, :, None] & (one_hot > 0)[None, :, :]  # (P, N, C)
-        seg_idx = jnp.where(sel, jnp.arange(num_gts)[None, :, None], -1)
-        j_star = jnp.max(seg_idx, axis=1)  # (P, C)
+        # matching event of each class wins. Computed as a (P, N) -> (P, C)
+        # scatter-max of event indices over the class axis (avoids ever
+        # materializing a (P, N, C) tensor — that form cost ~30 ms/step of
+        # HBM traffic at the flagship shapes).
+        idx_ok = jnp.where(ok, jnp.arange(num_gts, dtype=jnp.int32)[None, :],
+                           jnp.int32(-1))                    # (P, N)
+        j_star = (
+            jnp.full((num_pts, num_classes), -1, jnp.int32)
+            .at[:, gt_labels]
+            .max(idx_ok, mode="drop")
+        )                                                    # (P, C)
         has = j_star >= 0
         j_safe = jnp.maximum(j_star, 0)
         reg_pc = reg[jnp.arange(num_pts)[:, None], j_safe]  # (P, C, 2)

@@ -30,7 +30,7 @@ Design notes / replicated quirks:
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,12 +48,14 @@ class AlignmentMHA(nn.Module):
 
     dims: int
     heads: int = 8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, q: Array, k: Array, v: Array, mask: Array) -> Array:
         head_dim = self.dims // self.heads
         dense = dict(
-            kernel_init=xavier_normal_init, bias_init=nn.initializers.zeros
+            kernel_init=xavier_normal_init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )
         b, n, _ = q.shape
         qh = nn.Dense(self.dims, name="q", **dense)(q)
@@ -69,7 +71,8 @@ class AlignmentMHA(nn.Module):
         att = jnp.where(mask[:, None, :, :] > 0, att, neg_inf)
         att = jax.nn.softmax(att, axis=-1)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", att, vh, preferred_element_type=jnp.float32
+            "bhqk,bkhd->bqhd", att.astype(vh.dtype), vh,
+            preferred_element_type=jnp.float32,
         )
         out = out.reshape(b, n, self.dims)
         return nn.Dense(self.dims, name="m", **dense)(out)
@@ -78,11 +81,13 @@ class AlignmentMHA(nn.Module):
 class AlignmentFFN(nn.Module):
     num_input: int
     ratio: int = 4
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dense = dict(
-            kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros
+            kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )
         x = nn.Dense(self.num_input * self.ratio, name="fc1", **dense)(x)
         x = nn.gelu(x, approximate=False)
@@ -90,26 +95,29 @@ class AlignmentFFN(nn.Module):
 
 
 class MultiWayBlock(nn.Module):
-    """Fused-attention + per-modality FFN block (backbones.py:943-972)."""
+    """Fused-attention + per-modality FFN block (backbones.py:943-972).
+    LayerNorms compute in fp32; their outputs feed `dtype` matmuls."""
 
     num_hidden: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
         self, fused: Array, mask_fused: Array, n_video: int, n_text: int
     ) -> Tuple[Array, Array]:
         h = nn.LayerNorm(epsilon=1e-5, name="norm1_fused")(fused)
-        h = AlignmentMHA(self.num_hidden, name="attn_fusion")(h, h, h, mask_fused)
+        h = AlignmentMHA(self.num_hidden, name="attn_fusion",
+                         dtype=self.dtype)(h, h, h, mask_fused)
         residual = fused + h
 
         res_video = residual[:, :n_video]
         res_text = residual[:, n_video:]
-        video = res_video + AlignmentFFN(self.num_hidden, name="ffn_video")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2_video")(res_video)
-        )
-        text = res_text + AlignmentFFN(self.num_hidden, name="ffn_text")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2_text")(res_text)
-        )
+        video = res_video + AlignmentFFN(
+            self.num_hidden, name="ffn_video", dtype=self.dtype
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2_video")(res_video))
+        text = res_text + AlignmentFFN(
+            self.num_hidden, name="ffn_text", dtype=self.dtype
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2_text")(res_text))
         return video, text
 
 
@@ -204,6 +212,7 @@ class Alignment(nn.Module):
     num_layers: int = 2
     num_classes: int = 100
     max_positions: int = 5000
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -248,7 +257,8 @@ class Alignment(nn.Module):
         mask_fused = fused_attention_mask(mv, mt)
 
         # shared MultiWay block applied num_layers times (reference quirk)
-        block = MultiWayBlock(self.num_hidden, name="multiway")
+        block = MultiWayBlock(self.num_hidden, name="multiway",
+                              dtype=self.dtype)
         fused = jnp.concatenate([v, x], axis=1)
         for _ in range(self.num_layers):
             v, x = block(fused, mask_fused, n_video, n_text)

@@ -16,7 +16,7 @@ their keys.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -34,14 +34,15 @@ class DownsamplePyramidLevel(nn.Module):
 
     n_embd: int
     scale_factor: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Tuple[Array, Array]:
         x, mask = MaskedConv1D(
             self.n_embd, 3, stride=self.scale_factor, groups=self.n_embd,
-            use_bias=False, name="down_conv",
+            use_bias=False, name="down_conv", dtype=self.dtype,
         )(x, mask)
-        return ChannelLayerNorm(name="down_norm")(x), mask
+        return ChannelLayerNorm(name="down_norm", dtype=self.dtype)(x), mask
 
 
 @BACKBONES.register("convTransformer")
@@ -57,6 +58,7 @@ class ConvTransformerBackbone(nn.Module):
     with_ln: bool = True
     path_pdrop: float = 0.0
     use_abs_pe: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -69,17 +71,19 @@ class ConvTransformerBackbone(nn.Module):
         for idx in range(self.arch[0]):
             x_v, mask_v = MaskedConv1D(
                 self.n_embd, self.n_embd_ks, use_bias=not self.with_ln,
-                name=f"embd_V_{idx}",
+                name=f"embd_V_{idx}", dtype=self.dtype,
             )(x_v, mask_v)
             if self.with_ln:
-                x_v = ChannelLayerNorm(name=f"embd_norm_V_{idx}")(x_v)
+                x_v = ChannelLayerNorm(name=f"embd_norm_V_{idx}",
+                                       dtype=self.dtype)(x_v)
             x_v = nn.gelu(x_v, approximate=False)
             x_a, mask_a = MaskedConv1D(
                 self.n_embd, self.n_embd_ks, use_bias=not self.with_ln,
-                name=f"embd_A_{idx}",
+                name=f"embd_A_{idx}", dtype=self.dtype,
             )(x_a, mask_a)
             if self.with_ln:
-                x_a = ChannelLayerNorm(name=f"embd_norm_A_{idx}")(x_a)
+                x_a = ChannelLayerNorm(name=f"embd_norm_A_{idx}",
+                                       dtype=self.dtype)(x_a)
             x_a = nn.gelu(x_a, approximate=False)
 
         # ---- sinusoid positional encoding ---------------------------------
@@ -98,38 +102,49 @@ class ConvTransformerBackbone(nn.Module):
         for idx in range(self.arch[1] - 1):
             x_v, mask_v = TransformerBlock(
                 self.n_embd, self.n_head, path_pdrop=self.path_pdrop,
-                name=f"self_att_V_{idx}",
+                name=f"self_att_V_{idx}", dtype=self.dtype,
             )(x_v, x_v, mask_v, train=train)
             x_a, mask_a = TransformerBlock(
                 self.n_embd, self.n_head, path_pdrop=self.path_pdrop,
-                name=f"self_att_A_{idx}",
+                name=f"self_att_A_{idx}", dtype=self.dtype,
             )(x_a, x_a, mask_a, train=train)
 
         # ---- shared downsample pyramid + shared fusion ----------------------
         downsample = [
             DownsamplePyramidLevel(
-                self.n_embd, self.scale_factor, name=f"downsample_{i}"
+                self.n_embd, self.scale_factor, name=f"downsample_{i}",
+                dtype=self.dtype,
             )
             for i in range(self.arch[2])
         ]
         fusion = FusionModule(
             self.n_embd, seq_len=self.max_len,
-            num_levels=self.arch[2] + 1, name="fusion",
+            num_levels=self.arch[2] + 1, name="fusion", dtype=self.dtype,
         )
 
-        x_v_org, mask_v_org = x_v, mask_v
-        v_list, mv_list = [x_v], [mask_v]
+        # The reference runs the shared downsample chain and the shared
+        # FusionModule instance TWICE — V-pyramid guided by A, then A-pyramid
+        # guided by the original V stem (backbones.py:810-841). Because the
+        # weights are shared and every op in the chain is batch-parallel, the
+        # two passes are mathematically one pass at batch 2B: stack the
+        # modalities along the batch axis, run the pyramid + fusion once, and
+        # split. Identical numerics, half the op count through the hot
+        # CSP/MHCA stack (the small-op-bound part of the step).
+        b = x_v.shape[0]
+        both = jnp.concatenate([x_v, x_a], axis=0)
+        mask_both = jnp.concatenate([mask_v, mask_a], axis=0)
+        both_list, mb_list = [both], [mask_both]
         for ds in downsample:
-            x_v, mask_v = ds(v_list[-1], mv_list[-1])
-            v_list.append(x_v)
-            mv_list.append(mask_v)
-        feats_v, _, masks_v, _ = fusion(v_list, x_a, mv_list, mask_a)
-
-        a_list, ma_list = [x_a], [mask_a]
-        for ds in downsample:
-            x_a, mask_a = ds(a_list[-1], ma_list[-1])
-            a_list.append(x_a)
-            ma_list.append(mask_a)
-        feats_a, _, _, _ = fusion(a_list, x_v_org, ma_list, mask_v_org)
-
-        return list(feats_v), list(feats_a), list(masks_v)
+            nxt, mnxt = ds(both_list[-1], mb_list[-1])
+            both_list.append(nxt)
+            mb_list.append(mnxt)
+        # guides: the V half is guided by the A stem, the A half by the V stem
+        guide = jnp.concatenate([x_a, x_v], axis=0)
+        guide_mask = jnp.concatenate([mask_a, mask_v], axis=0)
+        feats_both, _, masks_both, _ = fusion(
+            both_list, guide, mb_list, guide_mask
+        )
+        feats_v = [f[:b] for f in feats_both]
+        feats_a = [f[b:] for f in feats_both]
+        masks_v = [m[:b] for m in masks_both]
+        return feats_v, feats_a, masks_v

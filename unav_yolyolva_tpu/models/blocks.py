@@ -91,20 +91,28 @@ class MaskedConv1D(nn.Module):
 
 class ChannelLayerNorm(nn.Module):
     """Affine LayerNorm over the channel (last) axis, biased variance
-    (blocks.py:64-103). eps=1e-5."""
+    (blocks.py:64-103). eps=1e-5.
+
+    Statistics are always computed in float32 (bfloat16 mean/variance loses
+    too much precision); the output is cast to `dtype` when set, so under a
+    bfloat16 compute policy the norm is an fp32 island feeding bf16 matmuls.
+    """
 
     eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        res = x - mu
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        res = xf - mu
         sigma = jnp.mean(res * res, axis=-1, keepdims=True)
         out = res * jax.lax.rsqrt(sigma + self.eps)
-        return out * weight + bias
+        out = out * weight + bias
+        return out.astype(self.dtype or x.dtype)
 
 
 def drop_path(x: Array, drop_prob: float, train: bool, rng) -> Array:
@@ -166,6 +174,7 @@ class MaskedMHCA(nn.Module):
     n_head: int
     n_qx_stride: int = 1
     n_kv_stride: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x1: Array, x2: Array, mask: Array) -> Tuple[Array, Array]:
@@ -179,21 +188,26 @@ class MaskedMHCA(nn.Module):
         q, qx_mask = MaskedConv1D(
             self.n_embd, dw_kernel(self.n_qx_stride), stride=self.n_kv_stride,
             groups=self.n_embd, use_bias=False, name="query_conv",
+            dtype=self.dtype,
         )(x2, mask)
-        q = ChannelLayerNorm(name="query_norm")(q)
+        q = ChannelLayerNorm(name="query_norm", dtype=self.dtype)(q)
         k, kv_mask = MaskedConv1D(
             self.n_embd, dw_kernel(self.n_kv_stride), stride=self.n_kv_stride,
             groups=self.n_embd, use_bias=False, name="key_conv",
+            dtype=self.dtype,
         )(x1, mask)
-        k = ChannelLayerNorm(name="key_norm")(k)
+        k = ChannelLayerNorm(name="key_norm", dtype=self.dtype)(k)
         v, _ = MaskedConv1D(
             self.n_embd, dw_kernel(self.n_kv_stride), stride=self.n_kv_stride,
             groups=self.n_embd, use_bias=False, name="value_conv",
+            dtype=self.dtype,
         )(x1, mask)
-        v = ChannelLayerNorm(name="value_norm")(v)
+        v = ChannelLayerNorm(name="value_norm", dtype=self.dtype)(v)
 
         dense = dict(
-            kernel_init=torch_conv_kernel_init, bias_init=nn.initializers.zeros
+            kernel_init=torch_conv_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )
         q = nn.Dense(self.n_embd, name="query", **dense)(q)
         k = nn.Dense(self.n_embd, name="key", **dense)(k)
@@ -211,11 +225,12 @@ class MaskedMHCA(nn.Module):
         # prevent queries from attending to invalid kv tokens
         neg_inf = jnp.finfo(att.dtype).min
         att = jnp.where(kv_mask[:, None, None, :], att, neg_inf)
-        att = jax.nn.softmax(att, axis=-1)
+        att = jax.nn.softmax(att, axis=-1)  # fp32 (accumulated fp32 above)
 
         v = v * kv_mask[:, :, None, None].astype(v.dtype)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32
+            "bhqk,bkhd->bqhd", att.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
         )
         out = out.reshape(b, tq, self.n_embd)
         out = nn.Dense(self.n_embd, name="proj", **dense)(out)
@@ -245,6 +260,7 @@ class TransformerBlock(nn.Module):
     n_out: Optional[int] = None
     n_hidden: Optional[int] = None
     path_pdrop: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -258,13 +274,14 @@ class TransformerBlock(nn.Module):
         n_out = self.n_out or self.n_embd
         n_hidden = self.n_hidden or 4 * self.n_embd
 
-        h1 = ChannelLayerNorm(name="ln11")(x1)
-        h2 = ChannelLayerNorm(name="ln12")(x2)
+        h1 = ChannelLayerNorm(name="ln11", dtype=self.dtype)(x1)
+        h2 = ChannelLayerNorm(name="ln12", dtype=self.dtype)(x2)
         out, out_mask = MaskedMHCA(
             self.n_embd, self.n_head,
             n_qx_stride=self.n_ds_strides[0],
             n_kv_stride=self.n_ds_strides[1],
             name="attn",
+            dtype=self.dtype,
         )(h1, h2, mask)
         out_mask_f = out_mask[..., None].astype(out.dtype)
 
@@ -281,9 +298,11 @@ class TransformerBlock(nn.Module):
         else:
             out = skip * out_mask_f + out
 
-        h = ChannelLayerNorm(name="ln2")(out)
+        h = ChannelLayerNorm(name="ln2", dtype=self.dtype)(out)
         dense = dict(
-            kernel_init=torch_conv_kernel_init, bias_init=nn.initializers.zeros
+            kernel_init=torch_conv_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )
         h = nn.Dense(n_hidden, name="mlp_fc1", **dense)(h)
         h = nn.gelu(h, approximate=False)

@@ -22,7 +22,7 @@ because they determine the parameter space:
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class MaxSigmoidAttnBlock(nn.Module):
     embed_channels: int
     num_heads: int
     kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, guide: Array, mask: Array) -> Tuple[Array, Array]:
@@ -61,13 +62,14 @@ class MaxSigmoidAttnBlock(nn.Module):
             self.embed_channels,
             kernel_init=torch_conv_kernel_init,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="guide_fc",
         )(guide)  # (B, N, embed)
         g = g.reshape(b, -1, self.num_heads, head_ch)
 
         if self.embed_channels != self.in_channels:
             embed, mask = MaskedConv1D(
-                self.embed_channels, 1, name="embed_conv"
+                self.embed_channels, 1, name="embed_conv", dtype=self.dtype
             )(x, mask)
         else:
             embed = x
@@ -84,10 +86,11 @@ class MaxSigmoidAttnBlock(nn.Module):
         attn = jax.nn.sigmoid(attn + bias[None, :, None])
 
         x, mask = MaskedConv1D(
-            self.out_channels, self.kernel_size, name="project_conv"
+            self.out_channels, self.kernel_size, name="project_conv",
+            dtype=self.dtype,
         )(x, mask)
         x = x.reshape(b, t, self.num_heads, self.out_channels // self.num_heads)
-        x = x * jnp.transpose(attn, (0, 2, 1))[..., None]
+        x = x * jnp.transpose(attn, (0, 2, 1))[..., None].astype(x.dtype)
         return x.reshape(b, t, self.out_channels), mask
 
 
@@ -102,15 +105,18 @@ class MaxSigmoidCSPLayer(nn.Module):
     num_heads: int
     num_blocks: int = 3
     expand_ratio: float = 0.5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, guide: Array, mask: Array) -> Tuple[Array, Array]:
         mid = int(self.out_channels * self.expand_ratio)
-        x_main, mask = MaskedConv1D(2 * mid, 1, name="main_conv")(x, mask)
+        x_main, mask = MaskedConv1D(
+            2 * mid, 1, name="main_conv", dtype=self.dtype
+        )(x, mask)
         parts = [x_main[..., :mid], x_main[..., mid:]]
         for i in range(self.num_blocks):
             out, mask = MaskedMHCA(
-                mid, n_head=4, name=f"block{i}"
+                mid, n_head=4, name=f"block{i}", dtype=self.dtype
             )(parts[-1], parts[-1], mask)
             parts.append(out)
         out, mask = MaxSigmoidAttnBlock(
@@ -120,11 +126,12 @@ class MaxSigmoidCSPLayer(nn.Module):
             embed_channels=self.embed_channels,
             num_heads=self.num_heads,
             name="attn_block",
+            dtype=self.dtype,
         )(parts[-1], guide, mask)
         parts.append(out)
-        out, mask = MaskedConv1D(self.out_channels, 1, name="final_conv")(
-            jnp.concatenate(parts, axis=-1), mask
-        )
+        out, mask = MaskedConv1D(
+            self.out_channels, 1, name="final_conv", dtype=self.dtype
+        )(jnp.concatenate(parts, axis=-1), mask)
         return out, mask
 
 
@@ -133,14 +140,16 @@ class DownsampleSiLU(nn.Module):
 
     n_embd: int
     scale_factor: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Tuple[Array, Array]:
         k = self.scale_factor + 1 if self.scale_factor > 1 else 3
         x, mask = MaskedConv1D(
-            self.n_embd, k, stride=self.scale_factor, name="down_conv"
+            self.n_embd, k, stride=self.scale_factor, name="down_conv",
+            dtype=self.dtype,
         )(x, mask)
-        x = ChannelLayerNorm(name="down_norm")(x)
+        x = ChannelLayerNorm(name="down_norm", dtype=self.dtype)(x)
         return nn.silu(x), mask
 
 
@@ -154,6 +163,7 @@ class FusionModule(nn.Module):
     num_levels: int = 6
     pool_size: int = 4
     pool_levels: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -183,6 +193,7 @@ class FusionModule(nn.Module):
                 embed_channels=embed_ch,
                 num_heads=td_heads[i],
                 name=f"top_down_{i}",
+                dtype=self.dtype,
             )
             for i in range(nl - 1)
         ]
@@ -194,11 +205,14 @@ class FusionModule(nn.Module):
                 embed_channels=embed_ch,
                 num_heads=bu_heads[i],
                 name=f"bottom_up_{i}",
+                dtype=self.dtype,
             )
             for i in range(nl - 1)
         ]
         # single shared downsample instance (reference quirk)
-        shared_down = DownsampleSiLU(self.n_embd, name="downsample_shared")
+        shared_down = DownsampleSiLU(
+            self.n_embd, name="downsample_shared", dtype=self.dtype
+        )
 
         # ---- top-down path -------------------------------------------------
         inner_outs = [img_feats[-1]]
@@ -231,7 +245,7 @@ class FusionModule(nn.Module):
         ) + b_mp[None, :, None]  # (B, T, C)
 
         txt_enh, mask_txt = MaskedMHCA(
-            self.n_embd, n_head=4, name="text_enhancer"
+            self.n_embd, n_head=4, name="text_enhancer", dtype=self.dtype
         )(txt_feats, mlvl, mask_txt)
         guide_enh = jnp.transpose(txt_enh, (0, 2, 1))
 

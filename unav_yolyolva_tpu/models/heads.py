@@ -7,7 +7,7 @@ Equivalents of PtTransformerClsHead / PtTransformerRegHead
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -39,16 +39,17 @@ class ConvTower(nn.Module):
     num_layers: int
     kernel_size: int
     with_ln: bool
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Array:
         for idx in range(self.num_layers - 1):
             x, _ = MaskedConv1D(
                 self.feat_dim, self.kernel_size, use_bias=not self.with_ln,
-                name=f"head_{idx}",
+                name=f"head_{idx}", dtype=self.dtype,
             )(x, mask)
             if self.with_ln:
-                x = ChannelLayerNorm(name=f"norm_{idx}")(x)
+                x = ChannelLayerNorm(name=f"norm_{idx}", dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -61,13 +62,15 @@ class ClsHead(nn.Module):
     kernel_size: int = 3
     with_ln: bool = True
     empty_cls: Tuple[int, ...] = ()
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats: List[Array], masks: List[Array]) -> List[Array]:
         tower = ConvTower(
             self.feat_dim, self.num_layers, self.kernel_size, self.with_ln,
-            name="tower",
+            name="tower", dtype=self.dtype,
         )
+        # final logits always float32 (loss / decode precision)
         cls_head = MaskedConv1D(
             self.num_classes, self.kernel_size,
             bias_init=cls_bias_init(
@@ -78,7 +81,7 @@ class ClsHead(nn.Module):
         out = []
         for feat, mask in zip(feats, masks):
             h = tower(feat, mask)
-            logits, _ = cls_head(h, mask)
+            logits, _ = cls_head(h.astype(jnp.float32), mask)
             out.append(logits)
         return out
 
@@ -91,20 +94,21 @@ class RegHead(nn.Module):
     kernel_size: int = 3
     with_ln: bool = True
     class_aware: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats: List[Array], masks: List[Array]) -> List[Array]:
         assert len(feats) == self.fpn_levels
         tower = ConvTower(
             self.feat_dim, self.num_layers, self.kernel_size, self.with_ln,
-            name="tower",
+            name="tower", dtype=self.dtype,
         )
         out_dim = 2 * self.num_classes if self.class_aware else 2
         offset_head = MaskedConv1D(out_dim, self.kernel_size, name="offset_head")
         out = []
         for level, (feat, mask) in enumerate(zip(feats, masks)):
             h = tower(feat, mask)
-            offsets, _ = offset_head(h, mask)
+            offsets, _ = offset_head(h.astype(jnp.float32), mask)
             offsets = LearnableScale(name=f"scale_{level}")(offsets)
             out.append(nn.relu(offsets))
         return out

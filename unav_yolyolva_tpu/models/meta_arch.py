@@ -135,6 +135,10 @@ class LocPointTransformer(nn.Module):
     cls_prior_prob: float = 0.01
     droppath: float = 0.1
     head_empty_cls: tuple = ()
+    # activation compute dtype (params stay float32). bfloat16 runs the
+    # matmul/conv stack on the MXU at double rate; LayerNorm statistics,
+    # softmax accumulation, head logits and every loss stay float32.
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, batch: Dict[str, Array], train: bool = False):
@@ -148,6 +152,7 @@ class LocPointTransformer(nn.Module):
             num_hidden=self.embd_dim,
             num_classes=self.num_classes,
             name="alignment",
+            dtype=self.compute_dtype,
         )(
             visual, audio, mask, mask,
             batch["m_start_end"], batch["m_scores"], batch["m_labels"],
@@ -166,6 +171,7 @@ class LocPointTransformer(nn.Module):
             path_pdrop=self.droppath,
             use_abs_pe=self.use_abs_pe,
             name="backbone",
+            dtype=self.compute_dtype,
         )(v_al, a_al, mask, train=train)
 
         feats = [
@@ -191,6 +197,7 @@ class LocPointTransformer(nn.Module):
             with_ln=self.head_with_ln,
             empty_cls=tuple(self.head_empty_cls),
             name="cls_head",
+            dtype=self.compute_dtype,
         )(feats, masks)
 
         offsets = RegHead(
@@ -202,6 +209,7 @@ class LocPointTransformer(nn.Module):
             with_ln=self.head_with_ln,
             class_aware=self.class_aware,
             name="reg_head",
+            dtype=self.compute_dtype,
         )(feats, masks)
 
         if self.class_aware:
@@ -336,4 +344,7 @@ def build_model(cfg: Dict[str, Any]) -> LocPointTransformer:
         cls_prior_prob=m["train_cfg"]["cls_prior_prob"],
         droppath=m["train_cfg"]["droppath"],
         head_empty_cls=tuple(m["train_cfg"]["head_empty_cls"]),
+        compute_dtype=jnp.dtype(
+            cfg.get("tpu", {}).get("compute_dtype", "float32")
+        ),
     )

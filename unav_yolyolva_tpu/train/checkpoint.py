@@ -106,8 +106,6 @@ def load_checkpoint(
 
 def find_latest_checkpoint(folder: str) -> Optional[str]:
     """Pick the last checkpoint dir in sorted order (eval.py:33-36)."""
-    if os.path.isdir(os.path.join(folder, "meta.json")):
-        return folder
     if os.path.exists(os.path.join(folder, "meta.json")):
         return folder
     cands = sorted(

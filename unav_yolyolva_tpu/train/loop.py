@@ -27,6 +27,19 @@ ARRAY_KEYS_EVAL = ARRAY_KEYS_TRAIN + (
 def _device_batch(batch: Dict, keys, mesh=None) -> Dict:
     sub = {k: batch[k] for k in keys}
     if mesh is not None:
+        n_dev = mesh.devices.size
+        b = sub["visual"].shape[0]
+        if b % n_dev:
+            # last eval batch: zero-pad the batch axis up to a multiple of
+            # the mesh size; the harvest loop iterates batch["video_id"]
+            # (real count only), so padded rows never reach the results
+            pad = n_dev - b % n_dev
+            sub = {
+                k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+                for k, v in sub.items()
+            }
         return shard_batch(sub, mesh)
     return sub
 
@@ -69,11 +82,13 @@ def train_one_epoch(
                 for k, v in last_losses.items():
                     tb_writer.add_scalar(f"train/{k}", v, step_i)
             fl = trackers.get("final_loss")
-            print(
+            line = (
                 f"Epoch: [{epoch:03d}][{it:05d}/{num_iters:05d}]\t"
-                f"Time {batch_time.val:.2f} ({batch_time.avg:.2f})\t"
-                f"Loss {fl.val:.2f} ({fl.avg:.2f})" if fl else ""
+                f"Time {batch_time.val:.2f} ({batch_time.avg:.2f})"
             )
+            if fl:
+                line += f"\tLoss {fl.val:.2f} ({fl.avg:.2f})"
+            print(line)
     if losses is not None:
         jax.block_until_ready(losses)
         last_losses = {k: float(v) for k, v in losses.items()}
@@ -103,11 +118,10 @@ def valid_one_epoch(
     batch_time = AverageMeter()
     start = time.time()
     losses = {}
-    for it, batch in enumerate(batcher):
-        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh)
-        dets, losses = eval_step(state, db)
-        dets = jax.device_get(dets)
-        for vi, vid in enumerate(batch["video_id"]):
+
+    def harvest(video_ids, dets):
+        dets = jax.device_get(dets)  # fast: copy already started async
+        for vi, vid in enumerate(video_ids):
             ok = dets["valid"][vi]
             n = int(ok.sum())
             if n == 0:
@@ -117,6 +131,23 @@ def valid_one_epoch(
             results["t-end"].append(dets["segments"][vi, ok, 1])
             results["label"].append(dets["labels"][vi, ok])
             results["score"].append(dets["scores"][vi, ok])
+
+    # Pipelined eval: dispatch batch i+1 (and start its detections' async
+    # device->host copy) BEFORE harvesting batch i, so the host fetch
+    # overlaps the next batch's on-device compute instead of serializing a
+    # full round-trip per batch. (The reference's loop blocks per batch.)
+    pending = None
+    for it, batch in enumerate(batcher):
+        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh)
+        dets, losses = eval_step(state, db)
+        for leaf in jax.tree.leaves(dets):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break
+        if pending is not None:
+            harvest(*pending)
+        pending = (batch["video_id"], dets)
         if it != 0 and it % print_freq == 0:
             batch_time.update((time.time() - start) / print_freq)
             start = time.time()
@@ -124,6 +155,8 @@ def valid_one_epoch(
                 f"Test: [{it:05d}/{len(batcher):05d}]\t"
                 f"Time {batch_time.val:.2f} ({batch_time.avg:.2f})"
             )
+    if pending is not None:
+        harvest(*pending)
 
     for k in ("t-start", "t-end", "label", "score"):
         results[k] = (

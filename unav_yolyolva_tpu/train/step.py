@@ -149,7 +149,21 @@ def make_eval_step(model, cfg: Dict, mesh=None, use_ema: bool = True) -> Callabl
         label_smoothing=cfg["train_cfg"]["label_smoothing"],
     )
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        # state replicated, batch sharded on the leading axis; detections come
+        # back batch-sharded, losses replicated (the mAP harvest runs on host)
+        jit_kwargs = dict(
+            in_shardings=(repl, data),
+            out_shardings=(data, repl),
+        )
+    else:
+        jit_kwargs = {}
+
+    @functools.partial(jax.jit, static_argnums=(2,), **jit_kwargs)
     def step(state: TrainState, batch: Dict, seq_len: int):
         points = generate_points(seq_len, reg_range, scale)
         points_cat = jnp.asarray(np.concatenate(points, 0))
@@ -172,6 +186,7 @@ def make_eval_step(model, cfg: Dict, mesh=None, use_ema: bool = True) -> Callabl
                 pre_nms_topk=test_cfg["pre_nms_topk"],
                 duration_thresh=test_cfg["duration_thresh"],
                 class_aware=class_aware,
+                max_candidates=cfg.get("tpu", {}).get("nms_max_candidates", 0),
             )
 
         segs, scores, cls_idx, valid = jax.vmap(decode_one)(

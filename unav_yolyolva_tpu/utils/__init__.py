@@ -1,4 +1,4 @@
 from .meters import AverageMeter
-from .seed import fix_random_seed
+from .seed import debugger_is_active, fix_random_seed
 
-__all__ = ["AverageMeter", "fix_random_seed"]
+__all__ = ["AverageMeter", "debugger_is_active", "fix_random_seed"]

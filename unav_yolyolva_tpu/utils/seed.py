@@ -21,3 +21,10 @@ def fix_random_seed(seed: int):
     random.seed(seed)
     os.environ["PYTHONHASHSEED"] = str(seed)
     return jax.random.PRNGKey(seed)
+
+
+def debugger_is_active() -> bool:
+    """True when a trace-based debugger is attached (ref train_utils.py:468-470)."""
+    import sys
+
+    return hasattr(sys, "gettrace") and sys.gettrace() is not None
