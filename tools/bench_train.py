@@ -49,6 +49,7 @@ def main():
         "opt": {"learning_rate": 1e-4, "epochs": 40, "warmup_epochs": 5,
                 "weight_decay": 1e-4},
         "train_cfg": {"loss_weight": 1},
+        "tpu": {"compute_dtype": os.environ.get("BENCH_DTYPE", "float32")},
     })
     mesh = make_mesh()
     model = build_model(cfg)
@@ -90,10 +91,14 @@ def main():
         state, losses = train_step(state, db, rng)
         float(losses["final_loss"])
 
+    # pipelined: steps chain through `state` and execute in submission
+    # order; fence ONCE at the end. Syncing the loss every step would
+    # serialize a host round-trip per step (~100 ms through the dev
+    # tunnel) — the real train loop only syncs every print_freq steps.
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, losses = train_step(state, db, rng)
-        float(losses["final_loss"])  # host sync each step (loss logging)
+    float(losses["final_loss"])
     dt = time.perf_counter() - t0
     cps = b * args.iters / dt
     print(json.dumps({
@@ -102,6 +107,7 @@ def main():
         "unit": "clips/s",
         "step_ms": round(dt / args.iters * 1e3, 1),
         "devices": mesh.devices.size,
+        "compute_dtype": os.environ.get("BENCH_DTYPE", "float32"),
     }))
 
 

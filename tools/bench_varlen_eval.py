@@ -94,7 +94,7 @@ def main():
             continue
         batches.append(collate(
             items, max_seq_len=224, max_num_events=64, max_div_factor=32,
-            training=False, bucket_multiple=32,
+            training=False,
         ))
 
     model = build_model(cfg)
@@ -128,31 +128,28 @@ def main():
     print(f"batches: {len(dev_batches)}, buckets (T): {buckets}",
           file=sys.stderr, flush=True)
 
-    # epoch pass INCLUDING compiles (what a user sees on epoch 1)
-    per_bucket = {}
-    t_start = time.perf_counter()
-    for db in dev_batches:
-        t1 = time.perf_counter()
-        dets, _ = eval_step(state, db)
-        jax.device_get(dets)
-        per_bucket.setdefault(db["visual"].shape[1], []).append(
-            time.perf_counter() - t1
-        )
-    cold = time.perf_counter() - t_start
+    def epoch_pass():
+        """Pipelined epoch: dispatch every batch, start async D2H of its
+        detections, harvest at the end (same overlap as valid_one_epoch).
+        Fencing per batch would measure the dev tunnel's ~100 ms round-trip
+        latency instead of device throughput."""
+        t_start = time.perf_counter()
+        outs = []
+        for db in dev_batches:
+            dets, _ = eval_step(state, db)
+            for leaf in jax.tree.leaves(dets):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    break
+            outs.append(dets)
+        outs = [jax.device_get(d) for d in outs]
+        assert all(np.isfinite(d["scores"]).all() for d in outs)
+        return time.perf_counter() - t_start
 
-    # steady-state pass (all buckets compiled)
-    t_start = time.perf_counter()
-    for db in dev_batches:
-        dets, _ = eval_step(state, db)
-        jax.device_get(dets)
-    warm = time.perf_counter() - t_start
-
+    cold = epoch_pass()   # includes per-bucket compiles
+    warm = epoch_pass()   # steady state
     n = len(dev_batches) * batch_size
-    for t_b in buckets:
-        ts = per_bucket[t_b]
-        print(f"  T={t_b:4d}: first {ts[0]*1e3:7.0f} ms (compile), "
-              f"then {min(ts)*1e3:6.0f} ms x {len(ts)}",
-              file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "varlen_eval_videos_per_sec",
         "value": round(n / warm, 3),

@@ -19,22 +19,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timed(fn, *args, iters=5):
-    """Per-iteration host fetch: on the axon runtime block_until_ready does
-    not fence the async remote compile/execute reliably."""
+def timed(fn, *args, iters=20):
+    """Pipelined device-throughput timing: dispatch `iters` calls
+    back-to-back, fence ONCE (TPU executes in submission order). Fencing
+    per call would measure the dev tunnel's ~100 ms round-trip latency
+    instead of compute (see tools/profile_train.py)."""
     import jax
     import numpy as _np
 
     def fence(out):
         _np.asarray(jax.tree.leaves(out)[0].ravel()[0])
 
-    fence(fn(*args))
-    ts = []
+    fence(fn(*args))  # compile + warm
+    out = None
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        fence(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
