@@ -73,17 +73,18 @@ def assign_labels(
 
         # per-(point, class) regression target: the reference's scatter loop
         # (unav100.py:240-245) writes events in index order, so the LAST
-        # matching event of each class wins. Computed as a (P, N) -> (P, C)
-        # scatter-max of event indices over the class axis (avoids ever
-        # materializing a (P, N, C) tensor — that form cost ~30 ms/step of
-        # HBM traffic at the flagship shapes).
-        idx_ok = jnp.where(ok, jnp.arange(num_gts, dtype=jnp.int32)[None, :],
-                           jnp.int32(-1))                    # (P, N)
-        j_star = (
-            jnp.full((num_pts, num_classes), -1, jnp.int32)
-            .at[:, gt_labels]
-            .max(idx_ok, mode="drop")
-        )                                                    # (P, C)
+        # matching event of each class wins: j_star[p, c] = max event index
+        # among matching events of class c (-1 if none). Computed as a dense
+        # (P, N, C) product + max-reduce — measured faster on TPU than the
+        # equivalent scatter-max (XLA scatters serialize on TPU; the dense
+        # tensor is small and rides the VPU).
+        one_hot_f = (one_hot > 0).astype(jnp.float32)        # (N, C)
+        idx_ok = jnp.where(ok, jnp.arange(num_gts, dtype=jnp.float32)[None, :],
+                           -1.0)                             # (P, N)
+        contrib = (idx_ok[:, :, None] + 2.0) * one_hot_f[None]
+        j_star = jnp.maximum(
+            jnp.max(contrib, axis=1) - 2.0, -1.0
+        ).astype(jnp.int32)                                  # (P, C)
         has = j_star >= 0
         j_safe = jnp.maximum(j_star, 0)
         reg_pc = reg[jnp.arange(num_pts)[:, None], j_safe]  # (P, C, 2)
