@@ -142,6 +142,60 @@ def test_decode_roundtrip():
     assert float(np.asarray(scores)[best]) > 0.999
 
 
+def test_decode_max_candidates_cap():
+    """tpu.nms_max_candidates: a generous cap keeps exactly the top-K-by-
+    score candidates and is a no-op on the surviving (valid) set when K
+    exceeds the number of above-threshold candidates."""
+    import jax
+    from unav_yolyolva_tpu.geometry import generate_points
+    from unav_yolyolva_tpu.eval.decode import decode_single_video
+
+    T, C = 32, 4
+    reg_range = [(0, 4), (4, 8), (8, 16), (16, 32), (32, 64), (64, 10000)]
+    pts = generate_points(T, reg_range, 2)
+    rng = np.random.default_rng(0)
+    cls_logits = [
+        jnp.asarray(rng.normal(-4.0, 2.0, (p.shape[0], C)), jnp.float32)
+        for p in pts
+    ]
+    offsets = [
+        jnp.asarray(rng.uniform(0.1, 2.0, (p.shape[0], C, 2)), jnp.float32)
+        for p in pts
+    ]
+    masks = [jnp.ones((p.shape[0],), bool) for p in pts]
+    pts_j = [jnp.asarray(p) for p in pts]
+    kw = dict(pre_nms_thresh=0.05, pre_nms_topk=20, duration_thresh=0.05,
+              class_aware=True)
+
+    full = decode_single_video(cls_logits, offsets, masks, pts_j, **kw)
+    n_valid = int(np.asarray(full[3]).sum())
+    assert n_valid > 0
+
+    capped = decode_single_video(cls_logits, offsets, masks, pts_j,
+                                 max_candidates=n_valid + 5, **kw)
+    assert capped[0].shape[0] == n_valid + 5
+    # every surviving candidate of the capped decode matches the top of the
+    # full decode, score-sorted
+    def rows(out):
+        segs, sc, ci, ok = (np.asarray(x) for x in out)
+        sel = ok.astype(bool)
+        order = np.argsort(-sc[sel], kind="stable")
+        return (segs[sel][order], sc[sel][order], ci[sel][order])
+
+    fs, fsc, fci = rows(full)
+    cs, csc, cci = rows(capped)
+    assert cs.shape == fs.shape
+    np.testing.assert_allclose(cs, fs, rtol=1e-6)
+    np.testing.assert_allclose(csc, fsc, rtol=1e-6)
+    np.testing.assert_array_equal(cci, fci)
+
+    # a tight cap keeps exactly the top-2 by score
+    top2 = decode_single_video(cls_logits, offsets, masks, pts_j,
+                               max_candidates=2, **kw)
+    ts, tsc, tci = rows(top2)
+    np.testing.assert_allclose(tsc, fsc[:2], rtol=1e-6)
+
+
 def test_map_evaluator(tmp_path):
     """Perfect predictions -> mAP 1.0; one wrong-class pred lowers one class."""
     import json

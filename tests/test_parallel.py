@@ -56,6 +56,7 @@ def make_np_batch(b):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_step_matches_single_device(n_dev):
     if len(jax.devices()) < n_dev:
