@@ -133,7 +133,10 @@ DEFAULTS: Dict[str, Any] = {
         "compute_dtype": "float32",
         # global cap on decoded candidates entering NMS (top-k by score after
         # the per-level pre_nms_topk); 0 keeps the reference's full candidate
-        # set (eval/decode.py max_candidates)
+        # set (eval/decode.py max_candidates). Measured on v5e with the
+        # Pallas merged-scan NMS the cap is a net LOSS (the wide top-k costs
+        # more than the scan saves: 855 -> 743 v/s at 4096); it is a lever
+        # for the XLA-fallback NMS path only.
         "nms_max_candidates": 0,
     },
 }

@@ -222,10 +222,19 @@ class MaskedMHCA(nn.Module):
         att = jnp.einsum(
             "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
-        # prevent queries from attending to invalid kv tokens
+        # prevent queries from attending to invalid kv tokens. Rows with NO
+        # valid kv token at all (possible when a caller flattens frames into
+        # the batch axis, e.g. the dependency block's co-occurrence branch
+        # over padded frames) would softmax to NaN under a plain -inf fill;
+        # zero their logits instead and kill the row after the softmax —
+        # matching the reference's post-softmax multiplicative-mask branch
+        # (blocks.py:231-234), whose output for such rows is exactly 0.
         neg_inf = jnp.finfo(att.dtype).min
+        any_kv = jnp.any(kv_mask, axis=-1)                       # (B,)
         att = jnp.where(kv_mask[:, None, None, :], att, neg_inf)
+        att = jnp.where(any_kv[:, None, None, None], att, 0.0)
         att = jax.nn.softmax(att, axis=-1)  # fp32 (accumulated fp32 above)
+        att = att * any_kv[:, None, None, None].astype(att.dtype)
 
         v = v * kv_mask[:, :, None, None].astype(v.dtype)
         out = jnp.einsum(

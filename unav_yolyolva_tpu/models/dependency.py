@@ -62,11 +62,17 @@ class DependencyBlock(nn.Module):
             h = nn.relu(h)
             h = h.reshape(b, t, self.num_classes, self.n_embd)
 
-            # temporal dependency: attention over T for each (sample, class)
+            # temporal dependency: attention over T for each (sample, class).
+            # Quirk parity: the reference flattens features b-major
+            # (`view(-1, H, T)` => row k = b*C + c) but tiles the mask
+            # c-major (`mask.repeat(C, 1, 1)` => row k = mask[k % B],
+            # dependency_block.py:52-53) — with batch > 1 each (sample,
+            # class) row gets the mask of sample (b*C + c) % B, cross-
+            # talking masks between samples. Replicated with jnp.tile.
             tmp = jnp.transpose(h, (0, 2, 1, 3)).reshape(
                 b * self.num_classes, t, self.n_embd
             )
-            tmp_mask = jnp.repeat(mask, self.num_classes, axis=0)
+            tmp_mask = jnp.tile(mask, (self.num_classes, 1))
             tmp_out, _ = temporal(tmp, tmp, tmp_mask, train=train)
             tmp_out = tmp_out.reshape(b, self.num_classes, t, self.n_embd)
             tmp_out = jnp.transpose(tmp_out, (0, 2, 1, 3))
