@@ -54,9 +54,11 @@ def main():
             "pre_nms_topk": 2000, "max_seg_num": 100, "min_score": 0.001,
             "multiclass_nms": True, "nms_sigma": 0.4, "iou_threshold": 0.7,
         },
-        # optional candidate budget experiment (0 = reference-exact set)
+        # optional experiments: candidate budget (0 = reference-exact set)
+        # and bf16 compute policy (headline metric stays float32)
         "tpu": {
             "nms_max_candidates": int(os.environ.get("BENCH_NMS_CAND", "0")),
+            "compute_dtype": os.environ.get("BENCH_DTYPE", "float32"),
         },
     })
 
