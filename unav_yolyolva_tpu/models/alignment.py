@@ -43,38 +43,86 @@ Array = jnp.ndarray
 
 
 class AlignmentMHA(nn.Module):
-    """Plain multi-head attention with an additive (B, N, N) mask
-    (backbones.py:845-924). Xavier-normal init on q/k/v/out."""
+    """Multi-head attention over the fused [video; text] sequence with the
+    reference's structured mask (backbones.py:845-924, mask built at
+    :1173-1183), computed in factorized form.
+
+    The reference materializes a (B, Nv+Nt, Nv+Nt) mask whose structure is:
+      * intra-modality: every query attends the VALID keys of its own
+        modality (key-validity broadcast);
+      * cross-modality: exactly ONE extra key per non-CLS query — the
+        other modality's token at the SAME index (the alignment band is the
+        identity at frame_sentence_ratio=1), unconditionally (the reference
+        writes the band regardless of token validity — quirk preserved).
+    Exploiting that structure, each half runs an Nv x Nv attention plus an
+    elementwise cross-logit — HALF the matmul FLOPs and attention-matrix
+    traffic of the fused (Nv+Nt)^2 form, no (B, N, N) mask tensor at all,
+    and softmax over exactly the same logit set (same values).
+
+    Xavier-normal init on q/k/v/out; param names q/k/v/m keep checkpoint
+    compatibility.
+    """
 
     dims: int
     heads: int = 8
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, q: Array, k: Array, v: Array, mask: Array) -> Array:
+    def __call__(
+        self,
+        fused: Array,        # (B, Nv+Nt, C), CLS tokens at 0 and Nv
+        mask_video: Array,   # (B, Nv) bool (CLS included)
+        mask_text: Array,    # (B, Nt) bool
+        n_video: int,
+    ) -> Array:
         head_dim = self.dims // self.heads
+        scale = 1.0 / math.sqrt(head_dim)
         dense = dict(
             kernel_init=xavier_normal_init, bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )
-        b, n, _ = q.shape
-        qh = nn.Dense(self.dims, name="q", **dense)(q)
-        kh = nn.Dense(self.dims, name="k", **dense)(k)
-        vh = nn.Dense(self.dims, name="v", **dense)(v)
+        b, n, _ = fused.shape
+        qh = nn.Dense(self.dims, name="q", **dense)(fused)
+        kh = nn.Dense(self.dims, name="k", **dense)(fused)
+        vh = nn.Dense(self.dims, name="v", **dense)(fused)
         qh = qh.reshape(b, n, self.heads, head_dim)
-        kh = kh.reshape(b, -1, self.heads, head_dim)
-        vh = vh.reshape(b, -1, self.heads, head_dim)
-        att = jnp.einsum(
-            "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) / math.sqrt(head_dim)
-        neg_inf = jnp.finfo(att.dtype).min
-        att = jnp.where(mask[:, None, :, :] > 0, att, neg_inf)
-        att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", att.astype(vh.dtype), vh,
-            preferred_element_type=jnp.float32,
-        )
-        out = out.reshape(b, n, self.dims)
+        kh = kh.reshape(b, n, self.heads, head_dim)
+        vh = vh.reshape(b, n, self.heads, head_dim)
+
+        def half(q_s, k_s, v_s, k_o, v_o, key_mask):
+            # q_s/k_s/v_s: this modality; k_o/v_o: the other, index-aligned
+            n_s = q_s.shape[1]
+            att = jnp.einsum(
+                "bqhd,bkhd->bhqk", q_s, k_s,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            neg_inf = jnp.finfo(att.dtype).min
+            att = jnp.where(key_mask[:, None, None, :], att, neg_inf)
+            cross = jnp.einsum(
+                "bqhd,bqhd->bhq", q_s, k_o,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            has_partner = jnp.arange(n_s) >= 1  # CLS has no band entry
+            cross = jnp.where(has_partner[None, None, :], cross, neg_inf)
+            logits = jnp.concatenate([att, cross[..., None]], axis=-1)
+            w = jax.nn.softmax(logits, axis=-1)
+            w = w.astype(v_s.dtype)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", w[..., :n_s], v_s,
+                preferred_element_type=jnp.float32,
+            )
+            out = out + jnp.einsum(
+                "bhq,bqhd->bqhd", w[..., n_s], v_o,
+                preferred_element_type=jnp.float32,
+            )
+            return out
+
+        qv, qt = qh[:, :n_video], qh[:, n_video:]
+        kv_, kt = kh[:, :n_video], kh[:, n_video:]
+        vv, vt = vh[:, :n_video], vh[:, n_video:]
+        out_v = half(qv, kv_, vv, kt, vt, mask_video)
+        out_t = half(qt, kt, vt, kv_, vv, mask_text)
+        out = jnp.concatenate([out_v, out_t], axis=1).reshape(b, n, self.dims)
         return nn.Dense(self.dims, name="m", **dense)(out)
 
 
@@ -103,11 +151,11 @@ class MultiWayBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, fused: Array, mask_fused: Array, n_video: int, n_text: int
+        self, fused: Array, mask_video: Array, mask_text: Array, n_video: int
     ) -> Tuple[Array, Array]:
         h = nn.LayerNorm(epsilon=1e-5, name="norm1_fused")(fused)
         h = AlignmentMHA(self.num_hidden, name="attn_fusion",
-                         dtype=self.dtype)(h, h, h, mask_fused)
+                         dtype=self.dtype)(h, mask_video, mask_text, n_video)
         residual = fused + h
 
         res_video = residual[:, :n_video]
@@ -254,14 +302,14 @@ class Alignment(nn.Module):
         v = v + pos_video[:, :n_video] + type_video
         x = x + pos_text[:, :n_text] + type_text
 
-        mask_fused = fused_attention_mask(mv, mt)
-
-        # shared MultiWay block applied num_layers times (reference quirk)
+        # shared MultiWay block applied num_layers times (reference quirk).
+        # The structured attention mask (fused_attention_mask) is consumed
+        # in factorized form inside AlignmentMHA — no (B, N, N) tensor.
         block = MultiWayBlock(self.num_hidden, name="multiway",
                               dtype=self.dtype)
         fused = jnp.concatenate([v, x], axis=1)
         for _ in range(self.num_layers):
-            v, x = block(fused, mask_fused, n_video, n_text)
+            v, x = block(fused, mv, mt, n_video)
             fused = jnp.concatenate([v, x], axis=1)
 
         cls_v, v = v[:, :1], v[:, 1:]
