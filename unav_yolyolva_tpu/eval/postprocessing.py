@@ -70,8 +70,16 @@ def postprocess_results(
         if vid not in cls_scores:
             continue
         scores = np.asarray(cls_scores[vid]).reshape(-1)
-        top_cls = np.argsort(-scores)[:topk]
-        idxs = by_vid[vid][:num_pred]
+        # reference tie-break form: ascending argsort, reversed
+        # (postprocessing.py:124)
+        top_cls = np.argsort(scores)[::-1][:topk]
+        # per-video detections sorted by score desc, top num_pred
+        # (results_to_array, postprocessing.py:87)
+        det_scores = np.asarray(
+            [results["score"][i] for i in by_vid[vid]], dtype=np.float64
+        )
+        order = np.argsort(det_scores)[::-1][:num_pred]
+        idxs = [by_vid[vid][j] for j in order]
         for cls in top_cls:
             cls_s = scores[cls]
             for i in idxs:
