@@ -113,6 +113,28 @@ def test_batcher_eval_fixed_shape(synth):
         assert batch["mask"].shape[1] == 64
 
 
+def test_batcher_early_exit_joins_producers(synth):
+    """Breaking out of an epoch mid-iteration must not strand producer
+    threads blocked in Queue.put (round-2 verdict: blocked producers each
+    pin a full batch of memory across epochs)."""
+    import threading
+    import time
+
+    cfg = make_cfg(synth, max_seq_len=64, batch_size=1)
+    cfg["loader"]["prefetch"] = 1
+    ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
+    baseline = threading.active_count()
+    b = make_batcher(ds, cfg, False, seed=0)
+    for _ in b:
+        break  # early consumer exit with batches still queued/producing
+    deadline = time.time() + 5.0
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == baseline, (
+        f"{threading.active_count() - baseline} producer thread(s) leaked"
+    )
+
+
 def test_batcher_deterministic_order(synth):
     cfg = make_cfg(synth, max_seq_len=128, batch_size=2)
     ds = UnAV100Dataset(True, ("train",), **cfg["dataset"])

@@ -142,6 +142,32 @@ def test_checkpoint_roundtrip(trained, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_atomicity(trained, tmp_path):
+    """Overwriting saves leave no staging debris, and a partially-written
+    (crashed) save is never selected by find_latest_checkpoint."""
+    import json
+
+    from unav_yolyolva_tpu.train.checkpoint import find_latest_checkpoint
+
+    cfg, model, state, _, mesh = trained
+    folder = str(tmp_path / "ckpt")
+    save_checkpoint(state, epoch=0, folder=folder, is_best=True)
+    save_checkpoint(state, epoch=1, folder=folder, is_best=True)  # overwrite
+    assert sorted(os.listdir(folder)) == ["model_best"]
+    restored = load_checkpoint(os.path.join(folder, "model_best"), state)
+    assert restored["epoch"] == 1
+
+    # simulate a crash mid-save: a complete staging dir that never got
+    # renamed, plus a torn dir with no meta.json
+    tmp_dir = os.path.join(folder, "zz_epoch_005.tmp")
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump({"epoch": 5}, f)
+    os.makedirs(os.path.join(folder, "zz_epoch_006"))  # no meta.json yet
+    picked = find_latest_checkpoint(folder)
+    assert picked == os.path.join(folder, "model_best")
+
+
 def test_decay_mask_rules(trained):
     from unav_yolyolva_tpu.train.optim import decay_mask
 

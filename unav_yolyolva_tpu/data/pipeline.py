@@ -36,7 +36,6 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from ..geometry.points import eval_seq_len
 from .dataset import UnAV100Dataset
 
 
@@ -61,13 +60,14 @@ def collate(
         assert max_len <= max_seq_len, "train inputs must fit max_seq_len"
         t = max_seq_len
     else:
-        # eval pads every batch to exactly max_seq_len (ref data_utils.py:
+        # eval pads EVERY batch to exactly max_seq_len (ref data_utils.py:
         # 171-173 rounds short batches UP to max_seq_len; the fusion guide
-        # width is hard-wired to it). Longer inputs, which CRASH the
-        # reference, are truncated (pad_to slices) — decode clamps the
-        # resulting segments to the true duration.
-        t = min(eval_seq_len(max_len, max_seq_len, max_div_factor),
-                max_seq_len)
+        # width is hard-wired to it) — unconditionally, so the eval step
+        # compiles exactly ONE shape even for batches of only-short videos.
+        # Longer inputs, which CRASH the reference, are truncated (pad_to
+        # slices) — decode clamps the resulting segments to the true
+        # duration.
+        t = max_seq_len
 
     b = len(items)
     visual = np.stack([pad_to(it["visual"], t) for it in items])
@@ -162,6 +162,18 @@ class Batcher:
         out_q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that re-checks `stop`: an early consumer exit
+            # (break mid-epoch, exception) must never strand a producer
+            # blocked forever in Queue.put holding a full batch
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def produce(thread_id: int):
             rng = random.Random(
                 (self.seed + self.epoch) * 7919 + thread_id
@@ -177,7 +189,8 @@ class Batcher:
                     max_div_factor=self.max_div_factor,
                     training=self.dataset.is_training,
                 )
-                out_q.put((bi, batch))
+                if not put_or_stop((bi, batch)):
+                    return
 
         threads = [
             threading.Thread(target=produce, args=(i,), daemon=True)
@@ -197,8 +210,10 @@ class Batcher:
                 next_bi += 1
         finally:
             stop.set()
+            # producers wake from put_or_stop within 0.1 s; a generous join
+            # bound keeps shutdown deterministic without masking a hang
             for th in threads:
-                th.join(timeout=0.1)
+                th.join(timeout=2.0)
 
 
 def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batcher:

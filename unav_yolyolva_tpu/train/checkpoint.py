@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -44,21 +45,28 @@ def save_checkpoint(
     """Write `<folder>/<name>/` with params/ema/opt msgpack blobs.
 
     is_best => name forced to `model_best`, optimizer state dropped
-    (train_utils.py:47-52)."""
+    (train_utils.py:47-52).
+
+    Writes are ATOMIC: blobs go to a `<name>.tmp` staging dir (meta.json
+    last) which is then renamed into place, so a crash mid-save can never
+    leave a torn `model_best` — and `find_latest_checkpoint` never selects
+    a staging dir."""
     os.makedirs(folder, exist_ok=True)
     name = "model_best" if is_best else file_name
     ckpt_dir = os.path.join(folder, name)
-    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp_dir = ckpt_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
 
     params = jax.device_get(state.params)
     ema = jax.device_get(state.ema_params)
-    _write_bytes(os.path.join(ckpt_dir, "params.msgpack"),
+    _write_bytes(os.path.join(tmp_dir, "params.msgpack"),
                  serialization.to_bytes(params))
-    _write_bytes(os.path.join(ckpt_dir, "ema.msgpack"),
+    _write_bytes(os.path.join(tmp_dir, "ema.msgpack"),
                  serialization.to_bytes(ema))
     if not is_best:
         opt = jax.device_get(state.opt_state)
-        _write_bytes(os.path.join(ckpt_dir, "opt_state.msgpack"),
+        _write_bytes(os.path.join(tmp_dir, "opt_state.msgpack"),
                      serialization.to_bytes(opt))
     meta = {
         "epoch": int(epoch),
@@ -66,8 +74,17 @@ def save_checkpoint(
         "loss_normalizer": float(jax.device_get(state.loss_normalizer)),
         "has_opt_state": not is_best,
     }
-    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+
+    # swap the staged dir into place; the previous complete checkpoint
+    # survives (as <name>.old) until the rename has succeeded
+    old_dir = ckpt_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.exists(ckpt_dir):
+        os.rename(ckpt_dir, old_dir)
+    os.rename(tmp_dir, ckpt_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return ckpt_dir
 
 
@@ -105,11 +122,15 @@ def load_checkpoint(
 
 
 def find_latest_checkpoint(folder: str) -> Optional[str]:
-    """Pick the last checkpoint dir in sorted order (eval.py:33-36)."""
+    """Pick the last COMPLETE checkpoint dir in sorted order (eval.py:33-36).
+
+    Staging (`*.tmp`) and displaced (`*.old`) dirs from an interrupted
+    save_checkpoint are never candidates."""
     if os.path.exists(os.path.join(folder, "meta.json")):
         return folder
     cands = sorted(
         d for d in os.listdir(folder)
-        if os.path.exists(os.path.join(folder, d, "meta.json"))
+        if not d.endswith((".tmp", ".old"))
+        and os.path.exists(os.path.join(folder, d, "meta.json"))
     )
     return os.path.join(folder, cands[-1]) if cands else None

@@ -24,15 +24,21 @@ ARRAY_KEYS_EVAL = ARRAY_KEYS_TRAIN + (
 )
 
 
-def _device_batch(batch: Dict, keys, mesh=None) -> Dict:
+def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False) -> Dict:
     sub = {k: batch[k] for k in keys}
     if mesh is not None:
         n_dev = mesh.devices.size
         b = sub["visual"].shape[0]
         if b % n_dev:
-            # last eval batch: zero-pad the batch axis up to a multiple of
-            # the mesh size; the harvest loop iterates batch["video_id"]
-            # (real count only), so padded rows never reach the results
+            # zero-padding the batch axis is only legal on the EVAL path
+            # (the harvest loop iterates batch["video_id"] — real count
+            # only — so padded rows never reach the results). Training on
+            # all-zero rows would silently dilute gradients: error instead.
+            if not allow_pad:
+                raise ValueError(
+                    f"train batch size {b} not divisible by mesh size "
+                    f"{n_dev}; refusing to zero-pad a training batch"
+                )
             pad = n_dev - b % n_dev
             sub = {
                 k: np.concatenate(
@@ -92,10 +98,17 @@ def train_one_epoch(
     if losses is not None:
         jax.block_until_ready(losses)
         last_losses = {k: float(v) for k, v in losses.items()}
+        for k, v in last_losses.items():
+            trackers.setdefault(k, AverageMeter()).update(v)
     else:
         jax.block_until_ready(state.params)
     print(f"[Train]: Epoch {epoch:d} finished")
-    return state, last_losses
+    # epoch stats are the tracker AVERAGES (sampled every print_freq steps
+    # plus the final step), matching the reference's epoch-averaged
+    # AverageMeter semantics (train_utils.py:291-298) rather than the last
+    # printed value
+    epoch_losses = {k: m.avg for k, m in trackers.items()} or last_losses
+    return state, epoch_losses
 
 
 def valid_one_epoch(
@@ -136,9 +149,12 @@ def valid_one_epoch(
     # device->host copy) BEFORE harvesting batch i, so the host fetch
     # overlaps the next batch's on-device compute instead of serializing a
     # full round-trip per batch. (The reference's loop blocks per batch.)
+    # NB: on a non-divisible final batch the zero-padded rows participate in
+    # the (batch-mean) val losses, so those are slightly diluted for that
+    # one batch; mAP is unaffected (padded rows are never harvested).
     pending = None
     for it, batch in enumerate(batcher):
-        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh)
+        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True)
         dets, losses = eval_step(state, db)
         for leaf in jax.tree.leaves(dets):
             try:
