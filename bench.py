@@ -98,34 +98,57 @@ def main():
     eval_step = make_eval_step(model, cfg, use_ema=True)
 
     # Timing protocol: inputs are device-resident; every iteration's full
-    # detection set is copied back to the host (started async, gathered at
-    # the end) — the same pipelined dispatch + overlapped D2H that
-    # valid_one_epoch uses, so this measures sustained device throughput.
-    # Fencing every iteration instead would serialize a host<->device
-    # round-trip per batch; through this dev environment's axon tunnel that
-    # is ~100 ms of pure latency per call (a production PCIe/ICI link is
-    # microseconds), which would benchmark the tunnel, not the framework.
-    # H2D of inputs is excluded for the same reason (tunnel ~30 MB/s).
+    # detection set is copied back to the host (started async, drained with
+    # a small sliding window) — the same pipelined dispatch + overlapped D2H
+    # that valid_one_epoch uses, so this measures sustained DEVICE
+    # throughput (quoted as such: input H2D is excluded — through this dev
+    # environment's axon tunnel H2D runs at ~30 MB/s pure tunnel latency; a
+    # production PCIe/ICI link overlaps it under double-buffering).
+    # Fencing every iteration would likewise serialize ~100 ms of tunnel
+    # round-trip per batch and benchmark the tunnel, not the framework.
     # NB: warm up with the committed device batch — committed vs uncommitted
     # inputs compile to different cache entries.
     dev_batch = jax.device_put(batch)
     jax.block_until_ready(list(dev_batch.values()))
-    dets, losses = eval_step(state, dev_batch)
+
+    # AOT-compile the exact program once: used both for the timing loop and
+    # for XLA's own FLOP accounting (MFU denominator)
+    run = eval_step.precompile(state, dev_batch)
+    flops = None
+    try:
+        cost = run.compiled.cost_analysis()
+        if cost and cost.get("flops"):
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    dets, losses = run(state, dev_batch)
     jax.device_get(dets)  # hard fence: block_until_ready does not reliably
                           # cover the axon runtime's async remote compile
-    fetched = []
+    # sliding-window drain: keep at most `window` detection sets live on
+    # device so large --iters can't accumulate device memory, while the
+    # D2H copies still overlap the next batches' compute
+    window = 4
+    pending, done = [], 0
     t0 = time.perf_counter()
     for it in range(iters):
-        dets, losses = eval_step(state, dev_batch)
+        dets, losses = run(state, dev_batch)
         for leaf in jax.tree.leaves(dets):
             try:
                 leaf.copy_to_host_async()
             except Exception:
                 break
-        fetched.append(dets)
-    fetched = [jax.device_get(d) for d in fetched]  # drain all D2H copies
+        pending.append(dets)
+        if len(pending) > window:
+            d = jax.device_get(pending.pop(0))
+            assert np.isfinite(d["scores"]).all()
+            done += 1
+    for d in pending:
+        d = jax.device_get(d)
+        assert np.isfinite(d["scores"]).all()
+        done += 1
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(d["scores"]).all() for d in fetched)
+    assert done == iters
     vps = batch_size * iters / dt
 
     baseline_vps = None
@@ -138,11 +161,28 @@ def main():
         baseline_vps = baseline.get("pytorch_cpu_eval_videos_per_sec")
     vs_baseline = (vps / baseline_vps) if baseline_vps else None
 
+    # MFU: XLA-counted FLOPs of the compiled step / measured step time,
+    # against the chip's bf16 matmul peak (v5e: 197 TFLOP/s) regardless of
+    # the run dtype — a conservative, unambiguous denominator
+    PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+    peak = PEAK_BF16.get(jax.devices()[0].device_kind)
+    mfu = flops_per_video = None
+    if flops:
+        flops_per_video = flops / batch_size
+        if peak:
+            mfu = (flops * iters / dt) / peak
+
     print(json.dumps({
         "metric": "eval_videos_per_sec",
         "value": round(vps, 3),
         "unit": "videos/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "protocol": "device_throughput_h2d_excluded",
+        "batch": batch_size,
+        "dtype": os.environ.get("BENCH_DTYPE", "float32"),
+        "flops_per_video": round(flops_per_video / 1e9, 3) if flops_per_video else None,
+        "flops_unit": "GFLOP",
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
     }))
 
 

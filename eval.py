@@ -33,6 +33,16 @@ def main(args):
     from unav_yolyolva_tpu.train.checkpoint import find_latest_checkpoint
     from unav_yolyolva_tpu.utils import fix_random_seed
 
+    # multi-host eval over DCN: same env protocol as train.py
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    elif os.environ.get("JAX_DISTRIBUTED_AUTO"):
+        jax.distributed.initialize()
+
     if not os.path.isfile(args.config):
         raise ValueError("Config file does not exist.")
     cfg = load_config(args.config)
@@ -116,6 +126,11 @@ def main(args):
         output_file = os.path.join(out_root, "eval_results.pkl")
 
     eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
+    # multi-host: AOT-compile + barrier before the first executed collective
+    # (no-op on a single process)
+    from unav_yolyolva_tpu.train import precompile_eval_step
+
+    eval_step = precompile_eval_step(eval_step, state, cfg, mesh)
     print(f"\nStart testing model {cfg['model_name']} ...")
     start = time.time()
     mAP, _ = valid_one_epoch(

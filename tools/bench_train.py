@@ -25,6 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the JSON record to this path")
     args = ap.parse_args()
 
     import jax
@@ -84,11 +86,21 @@ def main():
     train_step = make_train_step(model, tx, cfg, mesh=mesh)
 
     db = shard_batch(batch, mesh)
-    # warm up TWO steps: the first compiles; the second flushes the axon
-    # runtime's deferred first-execution work so the loop below measures
-    # steady state
+
+    # AOT-compile once: same executable for timing and for XLA's FLOP count
+    compiled = train_step.lower(state, db, rng).compile()
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if cost and cost.get("flops"):
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    # warm up TWO steps: the first execution flushes the axon runtime's
+    # deferred work so the loop below measures steady state
     for _ in range(2):
-        state, losses = train_step(state, db, rng)
+        state, losses = compiled(state, db, rng)
         float(losses["final_loss"])
 
     # pipelined: steps chain through `state` and execute in submission
@@ -97,18 +109,38 @@ def main():
     # tunnel) — the real train loop only syncs every print_freq steps.
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        state, losses = train_step(state, db, rng)
+        state, losses = compiled(state, db, rng)
     float(losses["final_loss"])
     dt = time.perf_counter() - t0
     cps = b * args.iters / dt
-    print(json.dumps({
+
+    PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+    peak = PEAK_BF16.get(jax.devices()[0].device_kind)
+    mfu = flops_per_clip = None
+    if flops:
+        flops_per_clip = flops / b
+        if peak:
+            mfu = (flops * args.iters / dt) / peak
+
+    record = {
         "metric": "train_clips_per_sec_per_chip",
         "value": round(cps, 3),
         "unit": "clips/s",
         "step_ms": round(dt / args.iters * 1e3, 1),
+        "batch": b,
         "devices": mesh.devices.size,
         "compute_dtype": os.environ.get("BENCH_DTYPE", "float32"),
-    }))
+        "protocol": "device_throughput_h2d_excluded",
+        "flops_per_clip": (
+            round(flops_per_clip / 1e9, 3) if flops_per_clip else None
+        ),
+        "flops_unit": "GFLOP",
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+    }
+    print(json.dumps(record))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

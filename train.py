@@ -28,6 +28,8 @@ def main(args):
         create_train_state,
         load_checkpoint,
         make_eval_step,
+        precompile_eval_step,
+        precompile_train_step,
         make_optimizer,
         make_train_step,
         save_checkpoint,
@@ -36,15 +38,26 @@ def main(args):
     )
     from unav_yolyolva_tpu.utils import fix_random_seed
 
-    # multi-host data parallelism: same jitted program over DCN; activated
-    # by the standard JAX cluster env (coordinator address + process ids)
+    # multi-host data parallelism: same jitted program over DCN. Explicit
+    # env triple (any host), or automatic detection on managed clusters
+    # (Cloud TPU pods / SLURM / OMPI) via JAX_DISTRIBUTED_AUTO=1.
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    elif os.environ.get("JAX_DISTRIBUTED_AUTO"):
         jax.distributed.initialize()
+    # on a multi-host run only process 0 writes checkpoints/logs; every
+    # process trains the same jitted program over the global mesh
+    is_main = jax.process_index() == 0
 
     if not os.path.isfile(args.config):
         raise ValueError("Config file does not exist.")
     cfg = load_config(args.config)
-    pprint(cfg)
+    if is_main:
+        pprint(cfg)
 
     # ckpt folder named from key hyperparams + timestamp (train.py:52-72)
     m = cfg["model"]
@@ -62,12 +75,13 @@ def main(args):
     os.makedirs(ckpt_folder, exist_ok=True)
 
     tb_writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    if is_main:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        tb_writer = SummaryWriter(os.path.join(ckpt_folder, "logs"))
-    except Exception:
-        pass
+            tb_writer = SummaryWriter(os.path.join(ckpt_folder, "logs"))
+        except Exception:
+            pass
 
     rng = fix_random_seed(cfg["init_rand_seed"])
 
@@ -134,8 +148,9 @@ def main(args):
         state, start_epoch = restored["state"], restored["epoch"] + 1
         print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch - 1})")
 
-    with open(os.path.join(ckpt_folder, "config.txt"), "w") as fid:
-        pprint(cfg, stream=fid)
+    if is_main:
+        with open(os.path.join(ckpt_folder, "config.txt"), "w") as fid:
+            pprint(cfg, stream=fid)
 
     # wandb experiment logging, gated exactly like the reference
     # (train.py:181-189: enabled unless a debugger is attached) and
@@ -143,7 +158,7 @@ def main(args):
     from unav_yolyolva_tpu.utils import debugger_is_active
 
     wandb_run = None
-    if not debugger_is_active():
+    if is_main and not debugger_is_active():
         try:
             import wandb
 
@@ -158,6 +173,11 @@ def main(args):
 
     train_step = make_train_step(model, tx, cfg, mesh=mesh)
     eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
+    # multi-host: AOT-compile + barrier before the first executed collective
+    # (no-ops on a single process) — see train/step.py:precompile_train_step
+    train_step = precompile_train_step(train_step, state, cfg, mesh, rng)
+    if cfg["train_cfg"]["evaluate"]:
+        eval_step = precompile_eval_step(eval_step, state, cfg, mesh)
 
     # early_stop_epochs overrides the full schedule length (ref train.py:195)
     max_epochs = cfg["opt"].get(
@@ -184,7 +204,9 @@ def main(args):
                 print(f"evaluation done! Total time: {time.time() - t0:0.2f} sec")
                 if avg_mAP > best_mAP:
                     best_mAP = avg_mAP
-                    save_checkpoint(state, epoch, ckpt_folder, is_best=True)
+                    if is_main:
+                        save_checkpoint(state, epoch, ckpt_folder,
+                                        is_best=True)
                 if wandb_run is not None:
                     wandb_run.log(
                         {"val_epoch_mAP": avg_mAP}, step=epoch
@@ -194,8 +216,10 @@ def main(args):
                 {f"train_epoch_{k}": v for k, v in train_stats.items()},
                 step=epoch,
             )
-        if (epoch == max_epochs - 1) or (
-            args.ckpt_freq > 0 and epoch % args.ckpt_freq == 0 and epoch > 0
+        if is_main and (
+            (epoch == max_epochs - 1)
+            or (args.ckpt_freq > 0 and epoch % args.ckpt_freq == 0
+                and epoch > 0)
         ):
             save_checkpoint(
                 state, epoch, ckpt_folder, file_name=f"epoch_{epoch:03d}"
@@ -209,6 +233,9 @@ def main(args):
         print("Loading the best model ...")
         restored = load_checkpoint(best_dir, state)
         final_eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=False)
+        final_eval_step = precompile_eval_step(
+            final_eval_step, restored["state"], cfg, mesh
+        )
         print(f"\nStart evaluating model {cfg['model_name']} ...")
         t0 = time.time()
         valid_one_epoch(

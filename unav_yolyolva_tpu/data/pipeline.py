@@ -124,9 +124,26 @@ class Batcher:
         seed: int = 0,
         num_threads: int = 2,
         prefetch: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """`batch_size` is the GLOBAL batch. With process_count > 1
+        (multi-host DP), every process forms the same deterministic global
+        batch order (shared seed/epoch) but loads and collates ONLY its own
+        contiguous row block [pid*local_b, (pid+1)*local_b) — the layout
+        parallel.mesh.shard_batch assembles into the global jax.Array.
+        Per-process slicing requires drop_last (all batches full); the
+        non-drop_last (eval) path keeps global batches, sliced downstream.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and drop_last:
+            assert batch_size % process_count == 0, (
+                f"global batch {batch_size} must divide over "
+                f"{process_count} processes"
+            )
         self.max_num_events = max_num_events
         self.max_div_factor = max_div_factor
         self.shuffle = shuffle
@@ -155,6 +172,11 @@ class Batcher:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+            if self.process_count > 1:
+                # this process's contiguous row block of every global batch
+                lb = self.batch_size // self.process_count
+                lo = self.process_index * lb
+                batches = [b[lo : lo + lb] for b in batches]
         return batches
 
     def __iter__(self) -> Iterator[Dict]:
@@ -221,6 +243,13 @@ def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batche
         cfg["model"]["scale_factor"] ** i
         for i in range(len(cfg["model"]["regression_range"]))
     )
+    # multi-host DP: the train batcher loads only this process's rows
+    # (jax import deferred — the pipeline itself is numpy-only)
+    process_index, process_count = 0, 1
+    if is_training:
+        import jax
+
+        process_index, process_count = jax.process_index(), jax.process_count()
     return Batcher(
         dataset,
         cfg["loader"]["batch_size"],
@@ -231,4 +260,6 @@ def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batche
         seed=seed,
         num_threads=min(4, cfg["loader"].get("num_workers", 2) or 1),
         prefetch=cfg["loader"].get("prefetch", 4),
+        process_index=process_index,
+        process_count=process_count,
     )

@@ -37,12 +37,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Put the numpy batch on device, batch axis sharded. Host-only fields
-    (lists) pass through untouched."""
+    (lists) pass through untouched.
+
+    Single-process: a plain device_put of the full batch. Multi-process
+    (multi-host DP over DCN, `jax.distributed.initialize`): the numpy
+    arrays are this process's LOCAL rows — contiguous block
+    `process_index * (global_b / process_count)` — and the global
+    jax.Array is assembled with `make_array_from_process_local_data`
+    (jax.devices() orders devices by process, so the contiguous-block
+    layout matches the mesh's data axis)."""
     sharding = batch_sharding(mesh)
+    n_proc = jax.process_count()
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, sharding)
+            if n_proc > 1:
+                gshape = (v.shape[0] * n_proc,) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, global_shape=gshape
+                )
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out

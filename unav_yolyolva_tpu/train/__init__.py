@@ -1,6 +1,12 @@
 from .optim import make_optimizer, make_schedule, decay_mask
 from .state import TrainState, create_train_state
-from .step import make_train_step, make_eval_step, build_targets
+from .step import (
+    make_train_step,
+    make_eval_step,
+    build_targets,
+    precompile_train_step,
+    precompile_eval_step,
+)
 from .checkpoint import save_checkpoint, load_checkpoint
 from .loop import train_one_epoch, valid_one_epoch
 from .ema import ema_update
@@ -13,6 +19,8 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "precompile_train_step",
+    "precompile_eval_step",
     "build_targets",
     "save_checkpoint",
     "load_checkpoint",

@@ -25,29 +25,54 @@ ARRAY_KEYS_EVAL = ARRAY_KEYS_TRAIN + (
 
 
 def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False) -> Dict:
+    """Move a numpy batch onto the mesh, batch axis sharded.
+
+    Single-process: the batch is global. Multi-process (multi-host DP):
+    the TRAIN batcher already yields process-local rows (pipeline.py),
+    while the EVAL batcher yields the full global batch on every process —
+    here it is padded to a mesh multiple and this process's contiguous row
+    block is extracted before shard_batch assembles the global jax.Array.
+    """
     sub = {k: batch[k] for k in keys}
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        b = sub["visual"].shape[0]
-        if b % n_dev:
-            # zero-padding the batch axis is only legal on the EVAL path
-            # (the harvest loop iterates batch["video_id"] — real count
-            # only — so padded rows never reach the results). Training on
-            # all-zero rows would silently dilute gradients: error instead.
-            if not allow_pad:
-                raise ValueError(
-                    f"train batch size {b} not divisible by mesh size "
-                    f"{n_dev}; refusing to zero-pad a training batch"
-                )
-            pad = n_dev - b % n_dev
-            sub = {
-                k: np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
-                )
-                for k, v in sub.items()
-            }
+    if mesh is None:
+        return sub
+    n_proc = jax.process_count()
+    n_dev = mesh.devices.size
+    b = sub["visual"].shape[0]
+
+    if n_proc > 1 and not allow_pad:
+        # train path: rows are already local; local batch must divide over
+        # this process's devices
+        n_local = n_dev // n_proc
+        if b % n_local:
+            raise ValueError(
+                f"local train batch {b} not divisible by {n_local} local "
+                f"devices; refusing to zero-pad a training batch"
+            )
         return shard_batch(sub, mesh)
-    return sub
+
+    if b % n_dev:
+        # zero-padding the batch axis is only legal on the EVAL path
+        # (the harvest loop iterates batch["video_id"] — real count
+        # only — so padded rows never reach the results). Training on
+        # all-zero rows would silently dilute gradients: error instead.
+        if not allow_pad:
+            raise ValueError(
+                f"train batch size {b} not divisible by mesh size "
+                f"{n_dev}; refusing to zero-pad a training batch"
+            )
+        pad = n_dev - b % n_dev
+        sub = {
+            k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+            )
+            for k, v in sub.items()
+        }
+    if n_proc > 1:
+        lb = sub["visual"].shape[0] // n_proc
+        lo = jax.process_index() * lb
+        sub = {k: v[lo : lo + lb] for k, v in sub.items()}
+    return shard_batch(sub, mesh)
 
 
 def train_one_epoch(

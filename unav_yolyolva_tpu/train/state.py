@@ -41,5 +41,21 @@ def create_train_state(params, tx, init_loss_norm: float,
         # (measured: +169 s on v5e via the axon runtime)
         from jax.sharding import NamedSharding, PartitionSpec
 
-        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        repl = NamedSharding(mesh, PartitionSpec())
+        if jax.process_count() > 1:
+            # multi-host: a device_put onto non-addressable devices would
+            # broadcast process 0's value over DCN (and force the gloo
+            # rendezvous before any barrier). Every process computed the
+            # SAME deterministic init, so assemble the replicated global
+            # arrays from process-local data with no communication.
+            import numpy as np
+
+            state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    repl, np.asarray(jax.device_get(x))
+                ),
+                state,
+            )
+        else:
+            state = jax.device_put(state, repl)
     return state

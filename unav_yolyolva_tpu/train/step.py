@@ -154,11 +154,16 @@ def make_eval_step(model, cfg: Dict, mesh=None, use_ema: bool = True) -> Callabl
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        # state replicated, batch sharded on the leading axis; detections come
-        # back batch-sharded, losses replicated (the mAP harvest runs on host)
+        # state replicated, batch sharded on the leading axis; detections
+        # come back batch-sharded, losses replicated (the mAP harvest runs
+        # on host). Multi-host: detections are REPLICATED instead — a
+        # device-side all-gather over DCN (they are small: max_seg_num rows
+        # per video) so every process can harvest the full batch and the
+        # single-host host-side code runs unchanged.
+        dets_sharding = repl if jax.process_count() > 1 else data
         jit_kwargs = dict(
             in_shardings=(repl, data),
-            out_shardings=(data, repl),
+            out_shardings=(dets_sharding, repl),
         )
     else:
         jit_kwargs = {}
@@ -208,4 +213,88 @@ def make_eval_step(model, cfg: Dict, mesh=None, use_ema: bool = True) -> Callabl
     def eval_step(state, batch):
         return step(state, batch, int(batch["visual"].shape[1]))
 
+    def precompile(state, batch):
+        """AOT-compile for `batch`'s shapes/shardings; returns a callable
+        with the (state, batch) signature (the executable is exposed as
+        `.compiled` for cost analysis). See precompile_train_step."""
+        compiled = step.lower(state, batch, int(batch["visual"].shape[1])).compile()
+
+        def run(s, b):
+            return compiled(s, b)
+
+        run.compiled = compiled
+        return run
+
+    eval_step.precompile = precompile
     return eval_step
+
+
+def _dummy_local_batch(cfg: Dict, *, with_eval_meta: bool) -> Dict:
+    """Zero batch with this process's LOCAL row count and the exact dtypes
+    the Batcher's collate produces (data/pipeline.py:collate)."""
+    n_proc = jax.process_count()
+    lb = cfg["loader"]["batch_size"] // max(n_proc, 1)
+    t = cfg["dataset"]["max_seq_len"]
+    ne = cfg["dataset"].get("max_num_events", 64)
+    dv = cfg["model"].get("raw_input_dim_V", 2048)
+    da = cfg["model"].get("raw_input_dim_A", 128)
+    batch = {
+        "visual": np.zeros((lb, t, dv), np.float32),
+        "audio": np.zeros((lb, t, da), np.float32),
+        "mask": np.ones((lb, t), bool),
+        "gt_segments": np.zeros((lb, ne, 2), np.float32),
+        "gt_labels": np.zeros((lb, ne), np.int32),
+        "gt_valid": np.zeros((lb, ne), bool),
+    }
+    if with_eval_meta:
+        for k in ("fps", "duration", "feat_stride", "feat_num_frames"):
+            batch[k] = np.ones((lb,), np.float32)
+    return batch
+
+
+def precompile_train_step(train_step, state, cfg: Dict, mesh, rng):
+    """Multi-host hardening: AOT-compile the sharded train step, then meet
+    at a coordination-service barrier BEFORE the first execution.
+
+    The first executed collective initializes the backend's communication
+    context under a hard rendezvous timeout (30 s on CPU/gloo); per-process
+    compile-time skew can exceed it. Compiling first and syncing makes every
+    process enter that rendezvous together. Returns the compiled executable
+    (same (state, batch, rng) call signature; single-process: returns
+    train_step unchanged).
+    """
+    if jax.process_count() <= 1:
+        return train_step
+    from ..parallel.sync import barrier
+    from .loop import ARRAY_KEYS_TRAIN, _device_batch
+
+    db0 = _device_batch(
+        _dummy_local_batch(cfg, with_eval_meta=False), ARRAY_KEYS_TRAIN, mesh
+    )
+    compiled = train_step.lower(state, db0, rng).compile()
+    barrier("train_step_compiled")
+
+    def run(s, b, r):
+        return compiled(s, b, r)
+
+    return run
+
+
+def precompile_eval_step(eval_step, state, cfg: Dict, mesh):
+    """Same compile-then-sync hardening for the eval step (multi-host); the
+    dummy batch takes the EVAL path through _device_batch (global rows,
+    pad + local slice). Single-process: returns eval_step unchanged."""
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return eval_step
+    from ..parallel.sync import barrier
+    from .loop import ARRAY_KEYS_EVAL, _device_batch
+
+    local = _dummy_local_batch(cfg, with_eval_meta=True)
+    global_batch = {
+        k: np.concatenate([v] * n_proc, axis=0) for k, v in local.items()
+    }
+    db0 = _device_batch(global_batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True)
+    compiled = eval_step.precompile(state, db0)
+    barrier("eval_step_compiled")
+    return compiled
