@@ -81,7 +81,9 @@ def main():
     gmask = jnp.ones((b2, t), bool)
     fm = FusionModule(c, seq_len=t, dtype=dtype)
     fp = fm.init(key, pyr, guide, pyr_masks, gmask)
-    ff = jax.jit(lambda p, py, g: fm.apply(p, py, g, pyr_masks, gmask))
+    ff = jax.jit(
+        lambda p, py, g: fm.apply(p, py, g, pyr_masks, gmask, train=False)
+    )
     rows.append(("fusion alone (2B)", timed(ff, fp, pyr, guide)))
 
     # ---- heads ----------------------------------------------------------
@@ -107,7 +109,7 @@ def main():
         m_in = jnp.ones((b2, tl), bool)
         g_in = mk((b2, c, t))
         pp = csp.init(key, x_in, g_in, m_in)
-        fcsp = jax.jit(lambda p, x, g: csp.apply(p, x, g, m_in))
+        fcsp = jax.jit(lambda p, x, g: csp.apply(p, x, g, m_in, train=False))
         rows.append((f"one CSP layer T={tl} (2B)", timed(fcsp, pp, x_in, g_in)))
 
     print(f"B={b} dtype={dt} device={jax.devices()[0].device_kind}")

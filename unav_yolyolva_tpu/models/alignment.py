@@ -115,7 +115,10 @@ class AlignmentMHA(nn.Module):
                 "bhq,bqhd->bqhd", w[..., n_s], v_o,
                 preferred_element_type=jnp.float32,
             )
-            return out
+            # fp32 accumulation, compute-dtype storage: under the bf16
+            # policy the convert rides the matmul epilogue instead of a
+            # full-width HBM round-trip
+            return out.astype(v_s.dtype)
 
         qv, qt = qh[:, :n_video], qh[:, n_video:]
         kv_, kt = kh[:, :n_video], kh[:, n_video:]

@@ -142,7 +142,7 @@ class ConvTransformerBackbone(nn.Module):
         guide = jnp.concatenate([x_a, x_v], axis=0)
         guide_mask = jnp.concatenate([mask_a, mask_v], axis=0)
         feats_both, _, masks_both, _ = fusion(
-            both_list, guide, mb_list, guide_mask
+            both_list, guide, mb_list, guide_mask, train=train
         )
         feats_v = [f[:b] for f in feats_both]
         feats_a = [f[b:] for f in feats_both]

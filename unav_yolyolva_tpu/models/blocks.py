@@ -26,6 +26,10 @@ from ..ops.masked import masked_conv1d_out_mask
 
 Array = jnp.ndarray
 
+# Test hook: force the fused MaskedMHCA path on CPU (runs the Pallas kernel
+# in interpret mode) so kernel-vs-XLA equivalence is testable without a TPU.
+FORCE_FUSED_MHCA = False
+
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """Torch Conv1d/Linear default init: kaiming_uniform(a=sqrt(5)).
@@ -177,10 +181,36 @@ class MaskedMHCA(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x1: Array, x2: Array, mask: Array) -> Tuple[Array, Array]:
+    def __call__(
+        self, x1: Array, x2: Array, mask: Array, train: bool = True
+    ) -> Tuple[Array, Array]:
         assert self.n_embd % self.n_head == 0
         head_dim = self.n_embd // self.n_head
         scale = 1.0 / math.sqrt(head_dim)
+
+        # Fused Pallas forward (ops/pallas_fusion.py): the whole block —
+        # dwconv -> LN -> q/k/v dense -> masked attention -> proj — runs
+        # VMEM-resident in one kernel. Eval-path only (forward-only kernel;
+        # training needs autodiff), TPU only (CPU keeps the XLA reference
+        # path — except under the tests' interpret-mode override), stride 1,
+        # T a sublane multiple, C a lane multiple.
+        profitable = (
+            x1.shape[1] % 8 == 0
+            # below T=112 the kernel loses to XLA on v5e (measured: T=56
+            # 1.94 ms XLA vs 2.22 ms fused) — small grids can't amortize
+            # the weight prologue
+            and x1.shape[1] >= 112
+            and x1.shape[-1] % 128 == 0
+            and jax.default_backend() != "cpu"
+        )
+        fused_ok = (
+            (not train)
+            and self.n_qx_stride == 1
+            and self.n_kv_stride == 1
+            and (profitable or FORCE_FUSED_MHCA)
+        )
+        if fused_ok:
+            return self._fused(x1, x2, mask)
 
         def dw_kernel(stride):
             return stride + 1 if stride > 1 else 3
@@ -240,11 +270,43 @@ class MaskedMHCA(nn.Module):
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", att.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(v.dtype)  # fp32 accum, compute-dtype storage
         out = out.reshape(b, tq, self.n_embd)
         out = nn.Dense(self.n_embd, name="proj", **dense)(out)
         out = out * qx_mask[..., None].astype(out.dtype)
         return out, qx_mask
+
+    def _fused(self, x1: Array, x2: Array, mask: Array) -> Tuple[Array, Array]:
+        """Pallas fused forward. Declares the SAME param tree as the XLA
+        path via shape-only submodule calls (their outputs are unused and
+        DCE'd by XLA), then runs ops/pallas_fusion.mhca_fused on the packed
+        weights."""
+        from ..ops.pallas_fusion import mhca_fused, pack_mhca_params
+
+        dense = dict(
+            kernel_init=torch_conv_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+        tiny_x, tiny_m = x1[:1, :8], mask[:1, :8]
+        for name in ("query", "key", "value"):
+            h, _ = MaskedConv1D(
+                self.n_embd, 3, groups=self.n_embd, use_bias=False,
+                name=f"{name}_conv", dtype=self.dtype,
+            )(tiny_x, tiny_m)
+            h = ChannelLayerNorm(name=f"{name}_norm", dtype=self.dtype)(h)
+            nn.Dense(self.n_embd, name=name, **dense)(h)
+        nn.Dense(self.n_embd, name="proj", **dense)(tiny_x)
+
+        p = self.variables["params"]
+        dw, lnw, lnb, dwt, dbs = pack_mhca_params(p)
+        dtype = self.dtype or x1.dtype
+        out = mhca_fused(
+            x1.astype(dtype), x2.astype(dtype), mask,
+            dw, lnw, lnb, dwt, dbs, heads=self.n_head,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return out, mask
 
 
 def _max_pool1d(x: Array, kernel: int, stride: int, padding: int) -> Array:
@@ -291,7 +353,7 @@ class TransformerBlock(nn.Module):
             n_kv_stride=self.n_ds_strides[1],
             name="attn",
             dtype=self.dtype,
-        )(h1, h2, mask)
+        )(h1, h2, mask, train=train)
         out_mask_f = out_mask[..., None].astype(out.dtype)
 
         if self.n_ds_strides[0] > 1:

@@ -108,7 +108,9 @@ class MaxSigmoidCSPLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array, guide: Array, mask: Array) -> Tuple[Array, Array]:
+    def __call__(
+        self, x: Array, guide: Array, mask: Array, train: bool = True
+    ) -> Tuple[Array, Array]:
         mid = int(self.out_channels * self.expand_ratio)
         x_main, mask = MaskedConv1D(
             2 * mid, 1, name="main_conv", dtype=self.dtype
@@ -117,7 +119,7 @@ class MaxSigmoidCSPLayer(nn.Module):
         for i in range(self.num_blocks):
             out, mask = MaskedMHCA(
                 mid, n_head=4, name=f"block{i}", dtype=self.dtype
-            )(parts[-1], parts[-1], mask)
+            )(parts[-1], parts[-1], mask, train=train)
             parts.append(out)
         out, mask = MaxSigmoidAttnBlock(
             in_channels=mid,
@@ -172,6 +174,7 @@ class FusionModule(nn.Module):
         txt_feats: Array,           # (B, T, C)
         mask_img: List[Array],      # num_levels x (B, T_l)
         mask_txt: Array,            # (B, T)
+        train: bool = True,
     ):
         nl = self.num_levels
         assert len(img_feats) == nl
@@ -222,7 +225,9 @@ class FusionModule(nn.Module):
             upsample = jnp.repeat(feat_high, 2, axis=1)      # nearest x2
             mask_up = jnp.repeat(mask_img[idx], 2, axis=1)   # coarse mask, x2
             td_in = jnp.concatenate([upsample, feat_low], axis=-1)
-            inner, _ = top_down_layers[nl - 1 - idx](td_in, guide, mask_up)
+            inner, _ = top_down_layers[nl - 1 - idx](
+                td_in, guide, mask_up, train=train
+            )
             inner_outs.insert(0, inner)
 
         # ---- text enhancer -------------------------------------------------
@@ -246,7 +251,7 @@ class FusionModule(nn.Module):
 
         txt_enh, mask_txt = MaskedMHCA(
             self.n_embd, n_head=4, name="text_enhancer", dtype=self.dtype
-        )(txt_feats, mlvl, mask_txt)
+        )(txt_feats, mlvl, mask_txt, train=train)
         guide_enh = jnp.transpose(txt_enh, (0, 2, 1))
 
         # ---- bottom-up path ------------------------------------------------
@@ -254,7 +259,9 @@ class FusionModule(nn.Module):
         for idx in range(nl - 1):
             down, mask_down = shared_down(outs[-1], mask_img[idx])
             bu_in = jnp.concatenate([down, inner_outs[idx + 1]], axis=-1)
-            out, _ = bottom_up_layers[idx](bu_in, guide_enh, mask_down)
+            out, _ = bottom_up_layers[idx](
+                bu_in, guide_enh, mask_down, train=train
+            )
             outs.append(out)
 
         # reference returns the ORIGINAL input pyramid masks
