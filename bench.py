@@ -112,13 +112,18 @@ def main():
     jax.block_until_ready(list(dev_batch.values()))
 
     # AOT-compile the exact program once: used both for the timing loop and
-    # for XLA's own FLOP accounting (MFU denominator)
+    # for XLA's own FLOP accounting (MFU denominator). XLA cannot see inside
+    # pallas_call, so the fused-MHCA kernels record their analytic FLOPs at
+    # trace time and we add them to the count.
+    from unav_yolyolva_tpu.ops import pallas_fusion
+    pallas_fusion.TRACED_FLOPS.clear()
     run = eval_step.precompile(state, dev_batch)
+    kernel_flops = sum(pallas_fusion.TRACED_FLOPS)
     flops = None
     try:
         cost = run.compiled.cost_analysis()
         if cost and cost.get("flops"):
-            flops = float(cost["flops"])
+            flops = float(cost["flops"]) + kernel_flops
     except Exception:
         pass
 

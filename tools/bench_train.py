@@ -87,13 +87,19 @@ def main():
 
     db = shard_batch(batch, mesh)
 
-    # AOT-compile once: same executable for timing and for XLA's FLOP count
-    compiled = train_step.lower(state, db, rng).compile()
+    # AOT-compile once: same executable for timing and for XLA's FLOP count.
+    # XLA cannot see inside pallas_call, so the fused-MHCA kernels record
+    # their analytic FLOPs at trace time and we add them here.
+    from unav_yolyolva_tpu.ops import pallas_fusion
+    pallas_fusion.TRACED_FLOPS.clear()
+    lowered = train_step.lower(state, db, rng)
+    kernel_flops = sum(pallas_fusion.TRACED_FLOPS)
+    compiled = lowered.compile()
     flops = None
     try:
         cost = compiled.cost_analysis()
         if cost and cost.get("flops"):
-            flops = float(cost["flops"])
+            flops = float(cost["flops"]) + kernel_flops
     except Exception:
         pass
 

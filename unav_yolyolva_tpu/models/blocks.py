@@ -16,6 +16,7 @@ Initialization matches the reference distributions:
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -26,9 +27,12 @@ from ..ops.masked import masked_conv1d_out_mask
 
 Array = jnp.ndarray
 
-# Test hook: force the fused MaskedMHCA path on CPU (runs the Pallas kernel
-# in interpret mode) so kernel-vs-XLA equivalence is testable without a TPU.
-FORCE_FUSED_MHCA = False
+# Fused-MHCA path selector. "auto" (default): Pallas kernel on TPU at
+# profitable shapes, XLA everywhere else. Test hooks: "always" forces the
+# kernel (on CPU it runs in interpret mode, so kernel-vs-XLA equivalence is
+# testable without a TPU); "never" disables it. Overridable via the
+# UNAV_FUSED_MHCA env var (benchmark A/B without code edits).
+FUSED_MHCA = os.environ.get("UNAV_FUSED_MHCA", "auto")
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -188,12 +192,13 @@ class MaskedMHCA(nn.Module):
         head_dim = self.n_embd // self.n_head
         scale = 1.0 / math.sqrt(head_dim)
 
-        # Fused Pallas forward (ops/pallas_fusion.py): the whole block —
+        # Fused Pallas path (ops/pallas_fusion.py): the whole block —
         # dwconv -> LN -> q/k/v dense -> masked attention -> proj — runs
-        # VMEM-resident in one kernel. Eval-path only (forward-only kernel;
-        # training needs autodiff), TPU only (CPU keeps the XLA reference
-        # path — except under the tests' interpret-mode override), stride 1,
-        # T a sublane multiple, C a lane multiple.
+        # VMEM-resident in one kernel. Eval uses the forward-only kernel;
+        # train uses the custom-VJP pair (fused forward + fused recompute
+        # backward). TPU only (CPU keeps the XLA reference path — except
+        # under the tests' interpret-mode override), stride 1, T a sublane
+        # multiple, C a lane multiple.
         profitable = (
             x1.shape[1] % 8 == 0
             # below T=112 the kernel loses to XLA on v5e (measured: T=56
@@ -204,13 +209,13 @@ class MaskedMHCA(nn.Module):
             and jax.default_backend() != "cpu"
         )
         fused_ok = (
-            (not train)
+            FUSED_MHCA != "never"
             and self.n_qx_stride == 1
             and self.n_kv_stride == 1
-            and (profitable or FORCE_FUSED_MHCA)
+            and (profitable or FUSED_MHCA == "always")
         )
         if fused_ok:
-            return self._fused(x1, x2, mask)
+            return self._fused(x1, x2, mask, train)
 
         def dw_kernel(stride):
             return stride + 1 if stride > 1 else 3
@@ -276,12 +281,16 @@ class MaskedMHCA(nn.Module):
         out = out * qx_mask[..., None].astype(out.dtype)
         return out, qx_mask
 
-    def _fused(self, x1: Array, x2: Array, mask: Array) -> Tuple[Array, Array]:
-        """Pallas fused forward. Declares the SAME param tree as the XLA
+    def _fused(
+        self, x1: Array, x2: Array, mask: Array, train: bool
+    ) -> Tuple[Array, Array]:
+        """Pallas fused path. Declares the SAME param tree as the XLA
         path via shape-only submodule calls (their outputs are unused and
-        DCE'd by XLA), then runs ops/pallas_fusion.mhca_fused on the packed
-        weights."""
-        from ..ops.pallas_fusion import mhca_fused, pack_mhca_params
+        DCE'd by XLA), then runs the packed-weight kernel: forward-only for
+        eval, the custom-VJP fused-backward pair for train."""
+        from ..ops.pallas_fusion import (
+            mhca_fused, mhca_fused_train, pack_mhca_params,
+        )
 
         dense = dict(
             kernel_init=torch_conv_kernel_init,
@@ -301,7 +310,8 @@ class MaskedMHCA(nn.Module):
         p = self.variables["params"]
         dw, lnw, lnb, dwt, dbs = pack_mhca_params(p)
         dtype = self.dtype or x1.dtype
-        out = mhca_fused(
+        kernel = mhca_fused_train if train else mhca_fused
+        out = kernel(
             x1.astype(dtype), x2.astype(dtype), mask,
             dw, lnw, lnb, dwt, dbs, heads=self.n_head,
             interpret=jax.default_backend() == "cpu",
