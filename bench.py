@@ -28,6 +28,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compile cache (env-var forms are overridden by the
+    # environment's jax bootstrap — config.update is the only way). Saves
+    # minutes per run when sweeping; the timed region never includes compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from unav_yolyolva_tpu.core.config import load_config_dict

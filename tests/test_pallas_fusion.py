@@ -150,6 +150,61 @@ def test_fused_train_forward_value():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+def test_fused_sharded_matches_single_device():
+    """GSPMD cannot auto-partition a Mosaic kernel, so the public wrappers
+    shard_map over the registered mesh. Forward and ALL grads (incl. the
+    replicated-weight psum inserted by shard_map's transpose) must equal
+    the single-device run on the 8-virtual-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from unav_yolyolva_tpu.ops.pallas_fusion import (
+        mhca_fused, mhca_fused_train, pack_mhca_params, set_fused_mesh,
+    )
+
+    B8 = 16  # divisible by the 8-device mesh
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.normal(size=(B8, T, C)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(B8, T, C)).astype(np.float32))
+    mask = np.zeros((B8, T), bool)
+    for i in range(B8):
+        mask[i, : rng.integers(1, T + 1)] = True
+    mask = jnp.asarray(mask)
+    mhca = MaskedMHCA(C, H)
+    params = mhca.init(jax.random.PRNGKey(11), x1, x2, mask, train=True)
+    packed = pack_mhca_params(params["params"])
+    w = jnp.asarray(rng.normal(size=(B8, T, C)).astype(np.float32))
+
+    def f(pk, a, b_):
+        out = mhca_fused_train(a, b_, mask, *pk, heads=H, interpret=True)
+        return jnp.sum(out * w)
+
+    set_fused_mesh(None)
+    try:
+        g1 = jax.grad(f, argnums=(0, 1, 2))(packed, x1, x2)
+        fw1 = mhca_fused(x1, x2, mask, *packed, heads=H, interpret=True)
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        set_fused_mesh(mesh)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        gfn = jax.jit(
+            jax.grad(f, argnums=(0, 1, 2)),
+            in_shardings=((repl,) * 5, data, data),
+        )
+        g8 = gfn(jax.device_put(packed, repl),
+                 jax.device_put(x1, data), jax.device_put(x2, data))
+        for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
+        fw8 = jax.jit(
+            lambda a, b_: mhca_fused(a, b_, mask, *packed, heads=H,
+                                     interpret=True)
+        )(jax.device_put(x1, data), jax.device_put(x2, data))
+        np.testing.assert_allclose(np.asarray(fw1), np.asarray(fw8),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        set_fused_mesh(None)
+
+
 def test_fused_bf16_close(force_fused):
     x1, _, mask = _inputs(3, [T, 28, 12, 4])
     mhca = MaskedMHCA(C, H, dtype=jnp.bfloat16)

@@ -155,6 +155,47 @@ def _mhca_fwd_call(x1, x2, m, dw, lnw, lnb, dwt, dbs, *, heads, eps,
 # kernel FLOPs to the XLA count.
 TRACED_FLOPS: list = []
 
+# Multi-chip: GSPMD cannot auto-partition a Mosaic custom call — lowering
+# a pallas_call inside a jit spanning >1 device raises NotImplementedError
+# (jax/_src/tpu_custom_call.py: "Mosaic kernels cannot be automatically
+# partitioned"). The step builders register their mesh here and the public
+# wrappers below run the kernel per batch shard via shard_map (weights
+# replicated; shard_map's transpose inserts the cross-shard psum for the
+# weight grads — equivalence vs the single-device grads is tested on the
+# virtual CPU mesh in tests/test_pallas_fusion.py).
+SHARD_MESH = None
+
+
+def set_fused_mesh(mesh) -> None:
+    """Register the data-parallel mesh the fused kernels must shard over
+    (None or a 1-device mesh disables the shard_map wrapper)."""
+    global SHARD_MESH
+    SHARD_MESH = (
+        mesh if (mesh is not None and mesh.devices.size > 1) else None
+    )
+
+
+def _maybe_shard_map(call, b):
+    """Wrap `call` in a batch-sharded shard_map when a >1-device mesh is
+    registered. Falls through when the batch does not divide the mesh
+    (the step builders enforce divisibility for train; eval pads)."""
+    mesh = SHARD_MESH
+    if mesh is None or b % mesh.devices.size != 0:
+        return call
+    from jax.sharding import PartitionSpec as P
+
+    data = P(mesh.axis_names[0])
+    # check_vma=False: pallas out_shapes carry no vma annotation; the
+    # transpose still inserts the cross-shard psum for the replicated
+    # weight operands (asserted equal to single-device grads in tests).
+    return jax.shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(data, data, data, P(), P(), P(), P(), P()),
+        out_specs=data,
+        check_vma=False,
+    )
+
 
 def _record_flops(b: int, t: int, c: int, train: bool) -> None:
     dwconv = 18 * b * t * c                 # 3 depthwise convs, k=3
@@ -195,8 +236,9 @@ def mhca_fused(x1, x2, mask, dw, lnw, lnb, dwt, dbs, *, heads,
     trace time (see TRACED_FLOPS)."""
     b, t, c = x1.shape
     _record_flops(b, t, c, train=False)
-    return _mhca_fused_jit(x1, x2, mask, dw, lnw, lnb, dwt, dbs,
-                           heads=heads, eps=eps, interpret=interpret)
+    call = functools.partial(_mhca_fused_jit, heads=heads, eps=eps,
+                             interpret=interpret)
+    return _maybe_shard_map(call, b)(x1, x2, mask, dw, lnw, lnb, dwt, dbs)
 
 
 # ---------------------------------------------------------------------------
@@ -488,9 +530,13 @@ def mhca_fused_train(
     """Fused MHCA with a fused Pallas backward (for the train path)."""
     b, t, c = x1.shape
     _record_flops(b, t, c, train=True)
-    m = mask.astype(jnp.float32)[..., None]
-    return _mhca_diff(x1, x2, m, dw, lnw, lnb, dwt, dbs, heads, eps,
-                      interpret)
+
+    def call(x1, x2, mask, dw, lnw, lnb, dwt, dbs):
+        m = mask.astype(jnp.float32)[..., None]
+        return _mhca_diff(x1, x2, m, dw, lnw, lnb, dwt, dbs, heads, eps,
+                          interpret)
+
+    return _maybe_shard_map(call, b)(x1, x2, mask, dw, lnw, lnb, dwt, dbs)
 
 
 def pack_mhca_params(p) -> Tuple[Array, ...]:

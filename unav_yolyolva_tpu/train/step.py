@@ -65,6 +65,9 @@ def make_train_step(
     mesh=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
+    from ..ops.pallas_fusion import set_fused_mesh
+
+    set_fused_mesh(mesh)  # Mosaic kernels need shard_map on >1 device
     mcfg = cfg["model"]
     seq_len = mcfg["max_seq_len"]
     num_classes = mcfg["num_classes"]
@@ -132,6 +135,9 @@ def make_eval_step(model, cfg: Dict, mesh=None, use_ema: bool = True) -> Callabl
     Detections: dict of fixed-shape arrays (segs seconds, scores, labels,
     valid). Compiles once per eval sequence-length bucket.
     """
+    from ..ops.pallas_fusion import set_fused_mesh
+
+    set_fused_mesh(mesh)  # Mosaic kernels need shard_map on >1 device
     mcfg = cfg["model"]
     num_classes = mcfg["num_classes"]
     class_aware = mcfg["class_aware"]
