@@ -145,6 +145,9 @@ def _mhca_fwd_call(x1, x2, m, dw, lnw, lnb, dwt, dbs, *, heads, eps,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, c), x1.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(x1, x2, m, dw, lnw, lnb, dwt, dbs)
 
 
@@ -439,15 +442,22 @@ def _mhca_bwd_kernel(x1_ref, x2_ref, m_ref, dw_ref, lnw_ref, lnb_ref,
         gdbs_ref[:] = gdbs_ref[:] + gdbs
 
 
+BWD_VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-vmem cap (v5e has 128M)
+
+
 def _pick_rows_bwd(b: int, t: int, c: int, itemsize: int) -> int:
     """Like _pick_rows, but ~22 live activation buffers (recompute + grads,
-    three of them fp32 LN yhats) and 3 live fp32 (R,T,T) attention mats."""
-    budget = 10 * 1024 * 1024
+    three of them fp32 LN yhats) and 3 live fp32 (R,T,T) attention mats.
+    Mosaic's measured stack allocation runs ~2x this liveness model (fp32
+    C=512 at R=1 measured 20.4 MB vs 10.7 modeled), hence the 2x factor;
+    the budget sits well under BWD_VMEM_LIMIT to leave room for the
+    pipeline's double-buffered input/output blocks."""
+    budget = 40 * 1024 * 1024
     r = b
     while r > 1:
         act = 16 * r * t * c * itemsize + 6 * r * t * c * 4
         att = 3 * r * t * t * 4
-        if act + att <= budget and b % r == 0:
+        if 2 * (act + att) <= budget and b % r == 0:
             return r
         r //= 2
     return 1
@@ -508,6 +518,9 @@ def _mhca_diff_bwd(heads, eps, interpret, res, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BWD_VMEM_LIMIT,
+        ),
     )(x1, x2, m, dw, lnw, lnb, dwt, dbs, g)
     return (
         dx1, dx2, jnp.zeros_like(m),
