@@ -272,3 +272,44 @@ def test_batched_nms_gather_path_matches_full(rng):
                       backend="pallas", **kw)
     for a, b in zip(fast, pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_multiclass_nms_batch_sharded_matches_single_device():
+    """GSPMD cannot auto-partition the Mosaic NMS scan, so
+    multiclass_nms_batch shard_maps over the registered mesh — outputs on
+    the 8-virtual-device mesh must equal the single-device run exactly."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from unav_yolyolva_tpu.ops.nms import multiclass_nms_batch
+    from unav_yolyolva_tpu.ops.pallas_fusion import set_fused_mesh
+
+    B, N = 16, 64
+    rng = np.random.default_rng(0)
+    segs = np.sort(
+        rng.uniform(0, 200, size=(B, N, 2)).astype(np.float32), axis=-1
+    )
+    scores = rng.uniform(0, 1, size=(B, N)).astype(np.float32)
+    cls = rng.integers(0, 10, size=(B, N)).astype(np.int32)
+    valid = rng.uniform(size=(B, N)) > 0.2
+    kw = dict(max_seg_num=20, iou_threshold=0.7, sigma=0.4, min_score=0.001)
+
+    set_fused_mesh(None)
+    try:
+        ref = multiclass_nms_batch(
+            jnp.asarray(segs), jnp.asarray(scores), jnp.asarray(cls),
+            jnp.asarray(valid), **kw,
+        )
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        set_fused_mesh(mesh)
+        data = NamedSharding(mesh, P("data"))
+        f = jax.jit(lambda s, sc, c, v: multiclass_nms_batch(s, sc, c, v, **kw))
+        out = f(
+            jax.device_put(jnp.asarray(segs), data),
+            jax.device_put(jnp.asarray(scores), data),
+            jax.device_put(jnp.asarray(cls), data),
+            jax.device_put(jnp.asarray(valid), data),
+        )
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        set_fused_mesh(None)

@@ -260,13 +260,35 @@ def multiclass_nms_batch(
 
     b, n, _ = segs.shape
     k = min(max_seg_num, n)
-    idx, sc, ok = multiclass_soft_nms_pallas(
-        segs, jnp.where(valid, scores, -jnp.inf), cls_idxs,
-        max_out=k,
-        iou_threshold=iou_threshold, sigma=sigma,
-        min_score=min_score, method=method,
-        # forced-pallas on CPU (tests) runs the interpreter
-        interpret=jax.default_backend() == "cpu",
+
+    def call(segs_, masked_scores_, cls_):
+        return multiclass_soft_nms_pallas(
+            segs_, masked_scores_, cls_,
+            max_out=k,
+            iou_threshold=iou_threshold, sigma=sigma,
+            min_score=min_score, method=method,
+            # forced-pallas on CPU (tests) runs the interpreter
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    # GSPMD cannot auto-partition a Mosaic kernel: inside a >1-device
+    # mesh-sharded eval step this must run per batch shard via shard_map
+    # (same constraint and registry as the fused MHCA kernels).
+    from .pallas_fusion import SHARD_MESH
+
+    mesh = SHARD_MESH
+    if mesh is not None and b % mesh.devices.size == 0:
+        from jax.sharding import PartitionSpec as P
+
+        data = P(mesh.axis_names[0])
+        call = jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(data, data, data),
+            out_specs=(data, data, data),
+            check_vma=False,
+        )
+    idx, sc, ok = call(
+        segs, jnp.where(valid, scores, -jnp.inf), cls_idxs
     )
     idx = jnp.maximum(idx, 0)
     pad = max_seg_num - k
