@@ -9,10 +9,15 @@ This kernel runs the whole block — dwconv -> LN -> q/k/v dense -> masked
 softmax attention -> output dense — per batch-block entirely in VMEM: the
 only HBM traffic is x in / out once plus the weights.
 
-Forward-only (no custom VJP): the model uses it on the eval path
-(train=False) and on TPU only; training and CPU take the XLA module path,
-which stays the numerical reference. `interpret=True` runs anywhere for
-equivalence tests.
+Both paths are fused: eval uses the forward-only kernel (mhca_fused);
+train uses a jax.custom_vjp pair (mhca_fused_train) whose backward is a
+second Pallas kernel that recomputes the forward per batch block
+(flash-attention style) and walks the chain in reverse, accumulating
+weight grads in fp32 VMEM-resident output blocks. TPU only; CPU takes the
+XLA module path, which stays the numerical reference. `interpret=True`
+runs anywhere for equivalence tests. On a >1-device mesh the wrappers
+shard_map over the batch axis (GSPMD cannot auto-partition Mosaic
+kernels); the step builders register their mesh via set_fused_mesh.
 
 Weight packing (built by the wrapper from the flax param tree):
     dw  (3, 3, C)   depthwise taps for q/k/v           [which, tap, C]
