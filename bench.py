@@ -104,7 +104,9 @@ def main():
     tx, _ = make_optimizer(params, cfg["opt"], 1)
     state = create_train_state(params, tx, 250)
 
-    eval_step = make_eval_step(model, cfg, use_ema=True)
+    # with_losses=False = the reference's inference protocol (detections
+    # only); the loss path incl. contrastive-pair selection is DCE'd
+    eval_step = make_eval_step(model, cfg, use_ema=True, with_losses=False)
 
     # Timing protocol: inputs are device-resident; every iteration's full
     # detection set is copied back to the host (started async, drained with

@@ -125,7 +125,10 @@ def main(args):
         out_root = ckpt_dir or os.path.dirname(torch_ckpt)
         output_file = os.path.join(out_root, "eval_results.pkl")
 
-    eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
+    # detections only, like the reference's eval.py (no val losses) — the
+    # loss path incl. contrastive-pair selection is DCE'd by XLA
+    eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True,
+                               with_losses=False)
     # multi-host: AOT-compile + barrier before the first executed collective
     # (no-op on a single process)
     from unav_yolyolva_tpu.train import precompile_eval_step

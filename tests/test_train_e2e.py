@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from unav_yolyolva_tpu.core.config import load_config_dict
@@ -121,6 +122,28 @@ def test_eval_produces_map(trained):
     )
     assert 0.0 <= mAP <= 1.0
     assert np.isfinite(float(losses["final_loss"]))
+
+
+def test_eval_without_losses_same_detections(trained):
+    """with_losses=False (the reference's inference protocol; loss path
+    DCE'd) must produce EXACTLY the detections of the default step."""
+    cfg, model, state, _, mesh = trained
+    val_ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
+    val_b = make_batcher(val_ds, cfg, False)
+    batch = next(iter(val_b))
+    db = {
+        k: jnp.asarray(v) for k, v in batch.items() if k != "video_id"
+    }
+    full = make_eval_step(model, cfg, use_ema=True)
+    lean = make_eval_step(model, cfg, use_ema=True, with_losses=False)
+    dets_f, losses_f = full(state, db)
+    dets_l, losses_l = lean(state, db)
+    assert losses_l == {}
+    assert np.isfinite(float(losses_f["final_loss"]))
+    for k in dets_f:
+        np.testing.assert_array_equal(
+            np.asarray(dets_f[k]), np.asarray(dets_l[k]), err_msg=k
+        )
 
 
 def test_checkpoint_roundtrip(trained, tmp_path):
