@@ -46,7 +46,15 @@ def decode_single_video(
         prob = jax.nn.sigmoid(cls_i) * mask_i[:, None].astype(cls_i.dtype)
         flat = prob.reshape(-1)                      # (T_l * C,)
         k = min(pre_nms_topk, t_l * c)
-        top_p, top_idx = jax.lax.top_k(flat, k)
+        if k == t_l * c:
+            # top-k of everything = identity set; skip the full sort (on
+            # TPU lax.top_k(k=n) sorts the level — measurable at B=64).
+            # Downstream consumers are order-independent: Soft-NMS picks
+            # its max by score each iteration and the final output is
+            # re-ranked globally (ops/nms.py:batched_nms tail).
+            top_p, top_idx = flat, jnp.arange(t_l * c, dtype=jnp.int32)
+        else:
+            top_p, top_idx = jax.lax.top_k(flat, k)
         keep = top_p > pre_nms_thresh
 
         pt_idx = top_idx // c
