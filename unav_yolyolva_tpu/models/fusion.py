@@ -112,6 +112,24 @@ class MaxSigmoidCSPLayer(nn.Module):
         self, x: Array, guide: Array, mask: Array, train: bool = True
     ) -> Tuple[Array, Array]:
         mid = int(self.out_channels * self.expand_ratio)
+
+        # Fused Pallas path (ops/pallas_csp.py): the WHOLE layer — main
+        # conv, 3 chained MHCAs, max-sigmoid guide attention, k=3 proj
+        # conv, final conv — as one VMEM-resident kernel. Train runs the
+        # fused forward with the XLA composition's vjp as backward. Gated
+        # to TPU and to the flagship geometry (embed == mid: no embed
+        # conv); the T=7/14/28 levels are padded inside the wrapper.
+        from .blocks import FUSED_MHCA
+
+        fused_ok = (
+            FUSED_MHCA != "never"
+            and self.embed_channels == mid
+            and mid % 128 == 0
+            and (jax.default_backend() != "cpu" or FUSED_MHCA == "always")
+        )
+        if fused_ok:
+            return self._fused(x, guide, mask, mid, train)
+
         x_main, mask = MaskedConv1D(
             2 * mid, 1, name="main_conv", dtype=self.dtype
         )(x, mask)
@@ -134,6 +152,48 @@ class MaxSigmoidCSPLayer(nn.Module):
         out, mask = MaskedConv1D(
             self.out_channels, 1, name="final_conv", dtype=self.dtype
         )(jnp.concatenate(parts, axis=-1), mask)
+        return out, mask
+
+    def _fused(
+        self, x: Array, guide: Array, mask: Array, mid: int, train: bool
+    ) -> Tuple[Array, Array]:
+        """Pallas fused path. Declares the SAME param tree as the XLA path
+        via shape-only submodule calls (outputs unused, DCE'd), then runs
+        ops/pallas_csp.csp_fused on the packed weights."""
+        from ..ops.pallas_csp import csp_fused, pack_csp_params
+
+        tiny_x, tiny_m = x[:1, :8, : 2 * mid], mask[:1, :8]
+        MaskedConv1D(2 * mid, 1, name="main_conv", dtype=self.dtype)(
+            x[:1, :8], tiny_m
+        )
+        h = tiny_x[..., :mid]
+        for i in range(self.num_blocks):
+            h, _ = MaskedMHCA(
+                mid, n_head=4, name=f"block{i}", dtype=self.dtype
+            )(h, h, tiny_m, train=train)
+        MaxSigmoidAttnBlock(
+            in_channels=mid,
+            out_channels=mid,
+            guide_in_features=self.guide_in_features,
+            embed_channels=self.embed_channels,
+            num_heads=self.num_heads,
+            name="attn_block",
+            dtype=self.dtype,
+        )(tiny_x[..., :mid], guide[:1, :2], tiny_m)
+        MaskedConv1D(self.out_channels, 1, name="final_conv",
+                     dtype=self.dtype)(
+            jnp.tile(tiny_x[..., :mid], (1, 1, 6)), tiny_m
+        )
+
+        p = self.variables["params"]
+        dtype = self.dtype or x.dtype
+        out = csp_fused(
+            x.astype(dtype), guide.astype(dtype), mask,
+            *pack_csp_params(p),
+            attn_heads=self.num_heads,
+            train=train,
+            interpret=jax.default_backend() == "cpu",
+        )
         return out, mask
 
 

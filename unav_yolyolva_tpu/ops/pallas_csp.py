@@ -1,0 +1,317 @@
+"""Fused MaxSigmoidCSPLayer forward as a Pallas TPU kernel.
+
+One CSP layer (models/fusion.py:MaxSigmoidCSPLayer, reference
+backbones.py:199-256) executes ~80 XLA ops: a 1x1 main conv, THREE chained
+MaskedMHCA blocks (each itself ~20 ops), the max-sigmoid guide attention,
+a k=3 projection conv, and a 1x1 final conv over the 6-part concat.
+Profiling on v5e shows the small pyramid levels are pure overhead: a
+T=7 layer costs ~2 ms against ~3.9 ms for T=224 (tools/profile_forward.py)
+— the work shrinks 32x but the time doesn't. This kernel runs the WHOLE
+layer per batch block in VMEM; the only HBM traffic is x/guide in, out
+once, plus the weights.
+
+Train path: jax.custom_vjp whose backward is the XLA composition's vjp
+(`csp_reference` below) — gradients are therefore EXACTLY the gradients of
+the XLA path the parity suite pins, and the train step still gets the
+fused forward. (A recompute-backward kernel like the MHCA one is possible
+later; the forward is where the overhead lives.)
+
+Sequence lengths that are not sublane multiples (T=7/14/28 levels) are
+zero-padded to the next multiple of 8 by the wrapper; every op in the
+layer is mask-correct under zero padding (proven in tests against the
+unpadded XLA module).
+
+Weight packing (pack_csp_params, from the flax param tree):
+    wmain  (Cin, 2*mid), bmain (1, 2*mid)       main 1x1 conv
+    DW (3,3,3,mid)  LNW/LNB (3,3,mid)           3 MaskedMHCA blocks
+    DWT (3,4,mid,mid)  DBS (3,4,mid)            (pack_mhca_params x3)
+    wg (Fg, emb), bg (1, emb)                   guide_fc
+    battn (1, H)                                per-head attention bias
+    wproj (3, mid, mid), bproj (1, mid)         k=3 projection conv
+    wfinal (6*mid, Cout), bfinal (1, Cout)      final 1x1 conv
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_fusion import _mhca_compute
+
+Array = jnp.ndarray
+
+CSP_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _csp_compute(x, g, mm, wmain, bmain, DW, LNW, LNB, DWT, DBS,
+                 wg, bg, battn, wproj, bproj, wfinal, bfinal,
+                 *, attn_heads: int, mhca_heads: int, eps: float):
+    """Value-level CSP layer; mm is the (R, T, 1) mask in compute dtype.
+    Mirrors models/fusion.py:MaxSigmoidCSPLayer exactly (same op order and
+    fp32 islands), so the kernel and the XLA reference share this body."""
+    r, t, cin = x.shape
+    dtype = x.dtype
+    mid = DWT.shape[-1]
+    f32 = jnp.float32
+
+    def matmul(a, w, b):
+        c_in = a.shape[-1]
+        y = jnp.dot(a.reshape(-1, c_in), w.astype(dtype),
+                    preferred_element_type=f32)
+        y = y.astype(dtype) + b.astype(dtype)
+        return y.reshape(r, t, -1)
+
+    # main 1x1 conv -> split (MaskedConv1D masks the OUTPUT only)
+    y = matmul(x, wmain, bmain) * mm
+    parts = [y[..., :mid], y[..., mid:]]
+
+    # three chained MaskedMHCA blocks
+    for bi in range(3):
+        out = _mhca_compute(
+            parts[-1], parts[-1], mm, DW[bi], LNW[bi], LNB[bi],
+            DWT[bi], DBS[bi], heads=mhca_heads, eps=eps,
+        )
+        parts.append(out)
+
+    # max-sigmoid guide attention (embed == mid => no embed conv,
+    # models/fusion.py:186-189)
+    p = parts[-1]
+    ng = g.shape[1]
+    gp = jnp.dot(g.reshape(-1, g.shape[-1]), wg.astype(dtype),
+                 preferred_element_type=f32).astype(dtype)
+    gp = (gp + bg.astype(dtype)).reshape(r, ng, -1)     # (R, Ng, emb)
+    emb = gp.shape[-1]
+    hc = emb // attn_heads
+    och = mid // attn_heads
+    battn_f = battn.astype(f32)
+
+    # k=3 projection conv (full conv, bias; input already masked)
+    zero = jnp.zeros_like(p[:, :1])
+    left = jnp.concatenate([zero, p[:, :-1]], axis=1)
+    right = jnp.concatenate([p[:, 1:], zero], axis=1)
+
+    def pmat(a, w):
+        return jnp.dot(a.reshape(-1, mid), w.astype(dtype),
+                       preferred_element_type=f32)
+
+    pc = pmat(left, wproj[0]) + pmat(p, wproj[1]) + pmat(right, wproj[2])
+    pc = (pc.astype(dtype) + bproj.astype(dtype)).reshape(r, t, mid) * mm
+
+    # per-head gate via static lane slices (same Mosaic constraint as the
+    # MHCA kernel: no reshape-transpose head split)
+    gated = []
+    for h in range(attn_heads):
+        e_h = p[:, :, h * hc:(h + 1) * hc]
+        g_h = gp[:, :, h * hc:(h + 1) * hc]
+        sc = jnp.einsum("rtc,rnc->rtn", e_h, g_h,
+                        preferred_element_type=f32)     # (R, T, Ng)
+        mx = jnp.max(sc, axis=-1, keepdims=True) / math.sqrt(hc)
+        gate = jax.nn.sigmoid(mx + battn_f[0, h]).astype(dtype)
+        gated.append(pc[:, :, h * och:(h + 1) * och] * gate)
+    parts.append(jnp.concatenate(gated, axis=-1))
+
+    cat = jnp.concatenate(parts, axis=-1)               # (R, T, 6*mid)
+    return matmul(cat, wfinal, bfinal) * mm
+
+
+def _csp_kernel(x_ref, g_ref, m_ref, wmain_ref, bmain_ref, DW_ref, LNW_ref,
+                LNB_ref, DWT_ref, DBS_ref, wg_ref, bg_ref, battn_ref,
+                wproj_ref, bproj_ref, wfinal_ref, bfinal_ref, out_ref, *,
+                attn_heads: int, mhca_heads: int, eps: float):
+    x = x_ref[:]
+    mm = m_ref[:].astype(x.dtype)
+    out_ref[:] = _csp_compute(
+        x, g_ref[:], mm, wmain_ref[:], bmain_ref[:], DW_ref[:], LNW_ref[:],
+        LNB_ref[:], DWT_ref[:], DBS_ref[:], wg_ref[:], bg_ref[:],
+        battn_ref[:], wproj_ref[:], bproj_ref[:], wfinal_ref[:],
+        bfinal_ref[:], attn_heads=attn_heads, mhca_heads=mhca_heads,
+        eps=eps,
+    )
+
+
+def _pick_rows_csp(b: int, t: int, cin: int, mid: int, ng: int,
+                   itemsize: int) -> int:
+    """Largest batch block R (divisor of b) within a conservative VMEM
+    budget: x + guide + ~10 mid-wide activations + the MHCA attention
+    matrices + the per-head (R, T, Ng) guide scores, with the measured 2x
+    Mosaic-stack factor (see pallas_fusion._pick_rows_bwd)."""
+    budget = 40 * 1024 * 1024
+    r = b
+    while r > 1:
+        act = (t * cin + ng * t + 12 * t * mid) * itemsize * r
+        att = (4 * t * t + t * ng) * 4 * r
+        if 2 * (act + att) <= budget and b % r == 0:
+            return r
+        r //= 2
+    return 1
+
+
+def _csp_fwd_call(x, g, m, *weights, attn_heads, mhca_heads, eps,
+                  interpret):
+    b, t, cin = x.shape
+    mid = weights[6].shape[-1]          # DBS (3, 4, mid)
+    cout = weights[12].shape[-1]        # wfinal (6mid, cout)
+    r = _pick_rows_csp(b, t, cin, mid, g.shape[1], x.dtype.itemsize)
+    grid = (b // r,)
+
+    def row_spec(c):
+        return pl.BlockSpec((r, t, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    g_spec = pl.BlockSpec((r,) + g.shape[1:], lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((r, t, 1), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_csp_kernel, attn_heads=attn_heads,
+                          mhca_heads=mhca_heads, eps=eps),
+        grid=grid,
+        in_specs=[row_spec(cin), g_spec, m_spec]
+        + [w_spec(w.shape) for w in weights],
+        out_specs=row_spec(cout),
+        out_shape=jax.ShapeDtypeStruct((b, t, cout), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=CSP_VMEM_LIMIT,
+        ),
+    )(x, g, m, *weights)
+
+
+def csp_reference(x, g, m, *weights, attn_heads, mhca_heads, eps=1e-5):
+    """The same math as the kernel in plain jnp (one XLA program). Used as
+    the custom-VJP backward (grads == the XLA module path's grads) and as
+    the test oracle."""
+    mm = m.astype(x.dtype)
+    return _csp_compute(x, g, mm, *weights, attn_heads=attn_heads,
+                        mhca_heads=mhca_heads, eps=eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _csp_diff(attn_heads, mhca_heads, interpret, x, g, m, *weights):
+    return _csp_fwd_call(x, g, m, *weights, attn_heads=attn_heads,
+                         mhca_heads=mhca_heads, eps=1e-5,
+                         interpret=interpret)
+
+
+def _csp_diff_fwd(attn_heads, mhca_heads, interpret, x, g, m, *weights):
+    out = _csp_fwd_call(x, g, m, *weights, attn_heads=attn_heads,
+                        mhca_heads=mhca_heads, eps=1e-5,
+                        interpret=interpret)
+    return out, (x, g, m, weights)
+
+
+def _csp_diff_bwd(attn_heads, mhca_heads, interpret, res, gout):
+    x, g, m, weights = res
+
+    def f(x_, g_, *ws):
+        return csp_reference(x_, g_, m, *ws, attn_heads=attn_heads,
+                             mhca_heads=mhca_heads)
+
+    _, vjp = jax.vjp(f, x, g, *weights)
+    grads = vjp(gout)
+    return (grads[0], grads[1], jnp.zeros_like(m)) + tuple(grads[2:])
+
+
+_csp_diff.defvjp(_csp_diff_fwd, _csp_diff_bwd)
+
+# Analytic FLOPs (see pallas_fusion.TRACED_FLOPS): main + final 1x1 convs,
+# 3 MHCA blocks, guide projection, per-head guide scores, k=3 proj conv.
+from .pallas_fusion import TRACED_FLOPS  # noqa: E402
+
+
+def _record_csp_flops(b, t, cin, mid, ng, fg, emb, train):
+    mhca = 3 * (18 * b * t * mid + 8 * b * t * mid * mid
+                + 4 * b * t * t * mid)
+    dense = (2 * b * t * cin * 2 * mid          # main
+             + 2 * b * ng * fg * emb            # guide_fc
+             + 2 * b * t * emb * ng             # per-head scores (all heads)
+             + 3 * 2 * b * t * mid * mid        # k=3 proj conv
+             + 2 * b * t * 6 * mid * mid * 2)   # final (6mid -> cout~2mid)
+    fwd = mhca + dense
+    # train: fused primal + XLA-vjp backward (~3x the matmul work)
+    TRACED_FLOPS.append(float(fwd if not train else 3 * fwd))
+
+
+def csp_fused(
+    x: Array,       # (B, T, Cin)
+    guide: Array,   # (B, Ng, Fg)
+    mask: Array,    # (B, T) bool
+    *weights: Array,
+    attn_heads: int,
+    mhca_heads: int = 4,
+    train: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """Fused MaxSigmoidCSPLayer. Pads T to a sublane multiple (the T=7/14/28
+    pyramid levels), runs the kernel per batch block, slices back."""
+    b, t, cin = x.shape
+    mid = weights[6].shape[-1]
+    _record_csp_flops(b, t, cin, mid, guide.shape[1], guide.shape[2],
+                      weights[7].shape[-1], train)
+
+    t8 = -(-t // 8) * 8
+    if t8 != t:
+        x = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, t8 - t)))
+    m = mask.astype(jnp.float32)[..., None]
+
+    def call(x_, g_, m_, *ws):
+        if train:
+            return _csp_diff(attn_heads, mhca_heads, interpret,
+                             x_, g_, m_, *ws)
+        return _csp_fwd_call(x_, g_, m_, *ws, attn_heads=attn_heads,
+                             mhca_heads=mhca_heads, eps=1e-5,
+                             interpret=interpret)
+
+    # >1-device mesh: same GSPMD constraint as the MHCA kernels — guide is
+    # batch-sharded too, weights replicated
+    from jax.sharding import PartitionSpec as P
+    from .pallas_fusion import SHARD_MESH
+
+    mesh = SHARD_MESH
+    if mesh is not None and b % mesh.devices.size == 0:
+        data = P(mesh.axis_names[0])
+        call = jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(data, data, data) + (P(),) * len(weights),
+            out_specs=data,
+            check_vma=False,
+        )
+    out = call(x, guide, m, *weights)
+    return out[:, :t] if t8 != t else out
+
+
+def pack_csp_params(p) -> Tuple[Array, ...]:
+    """Pack a MaxSigmoidCSPLayer param subtree into the kernel weights."""
+    from .pallas_fusion import pack_mhca_params
+
+    packs = [pack_mhca_params(p[f"block{i}"]) for i in range(3)]
+    ab = p["attn_block"]
+    return (
+        p["main_conv"]["conv"]["kernel"][0],            # (Cin, 2mid)
+        p["main_conv"]["conv"]["bias"][None],           # (1, 2mid)
+        jnp.stack([pk[0] for pk in packs]),             # DW  (3,3,3,mid)
+        jnp.stack([pk[1] for pk in packs]),             # LNW (3,3,mid)
+        jnp.stack([pk[2] for pk in packs]),             # LNB (3,3,mid)
+        jnp.stack([pk[3] for pk in packs]),             # DWT (3,4,mid,mid)
+        jnp.stack([pk[4] for pk in packs]),             # DBS (3,4,mid)
+        ab["guide_fc"]["kernel"],                       # (Fg, emb)
+        ab["guide_fc"]["bias"][None],                   # (1, emb)
+        ab["bias"][None],                               # (1, H)
+        ab["project_conv"]["conv"]["kernel"],           # (3, mid, mid)
+        ab["project_conv"]["conv"]["bias"][None],       # (1, mid)
+        p["final_conv"]["conv"]["kernel"][0],           # (6mid, Cout)
+        p["final_conv"]["conv"]["bias"][None],          # (1, Cout)
+    )

@@ -40,20 +40,20 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
-def _mhca_kernel(x1_ref, x2_ref, m_ref, dw_ref, lnw_ref, lnb_ref,
-                 dwt_ref, dbs_ref, out_ref, *, heads: int, eps: float):
-    x1 = x1_ref[:]                     # (R, T, C) compute dtype
-    x2 = x2_ref[:]
-    m = m_ref[:]                       # (R, T, 1) float32 {0,1}
+def _mhca_compute(x1, x2, mm, dw, lnw, lnb, dwt, dbs, *, heads: int,
+                  eps: float):
+    """Value-level MaskedMHCA block: dwconv -> channel-LN -> q/k/v dense ->
+    masked attention -> proj. Shared by the standalone MHCA kernel and the
+    fused CSP-layer kernel (ops/pallas_csp.py). `mm` is the (R, T, 1) mask
+    in the compute dtype; weights as packed by pack_mhca_params."""
     r, t, c = x1.shape
     d = c // heads
     scale = 1.0 / math.sqrt(d)
     dtype = x1.dtype
-    mm = m.astype(dtype)               # (R, T, 1)
 
     def dwconv_ln(x, which):
         # depthwise conv k=3, zero padding (MaskedConv1D), output re-masked
-        w = dw_ref[which].astype(dtype)              # (3, C)
+        w = dw[which].astype(dtype)                  # (3, C)
         zero = jnp.zeros_like(x[:, :1])
         left = jnp.concatenate([zero, x[:, :-1]], axis=1)
         right = jnp.concatenate([x[:, 1:], zero], axis=1)
@@ -65,12 +65,12 @@ def _mhca_kernel(x1_ref, x2_ref, m_ref, dw_ref, lnw_ref, lnb_ref,
         res = yf - mu
         var = jnp.mean(res * res, axis=-1, keepdims=True)
         out = res * jax.lax.rsqrt(var + eps)
-        out = out * lnw_ref[which] + lnb_ref[which]
+        out = out * lnw[which] + lnb[which]
         return out.astype(dtype)
 
     def dense(x, which):
-        w = dwt_ref[which].astype(dtype)             # (C, C)
-        b = dbs_ref[which].astype(dtype)             # (C,)
+        w = dwt[which].astype(dtype)                 # (C, C)
+        b = dbs[which].astype(dtype)                 # (C,)
         y = jnp.dot(x.reshape(r * t, c), w,
                     preferred_element_type=jnp.float32)
         return (y.astype(dtype) + b).reshape(r, t, c)
@@ -83,8 +83,8 @@ def _mhca_kernel(x1_ref, x2_ref, m_ref, dw_ref, lnw_ref, lnb_ref,
     # (R,T,H,D)->transpose->(R*H,T,D) shape cast, but D-wide lane slices,
     # single-batch-dim matmuls, and a minor-dim concat all lower cleanly.
     neg_inf = jnp.finfo(jnp.float32).min
-    key_ok = jnp.transpose(m, (0, 2, 1)) > 0.0          # (R, 1, T)
-    any_kv = jnp.max(m, axis=1, keepdims=True) > 0.0    # (R, 1, 1)
+    key_ok = jnp.transpose(mm.astype(jnp.float32), (0, 2, 1)) > 0.0  # (R,1,T)
+    any_kv = jnp.max(mm.astype(jnp.float32), axis=1, keepdims=True) > 0.0
     outs = []
     for h_i in range(heads):
         sl = slice(h_i * d, (h_i + 1) * d)
@@ -98,8 +98,19 @@ def _mhca_kernel(x1_ref, x2_ref, m_ref, dw_ref, lnw_ref, lnb_ref,
             jnp.einsum("rts,rsd->rtd", att.astype(dtype), v[:, :, sl],
                        preferred_element_type=jnp.float32).astype(dtype)
         )
-    out = dense(jnp.concatenate(outs, axis=-1), 3) * mm
-    out_ref[:] = out
+    return dense(jnp.concatenate(outs, axis=-1), 3) * mm
+
+
+def _mhca_kernel(x1_ref, x2_ref, m_ref, dw_ref, lnw_ref, lnb_ref,
+                 dwt_ref, dbs_ref, out_ref, *, heads: int, eps: float):
+    x1 = x1_ref[:]                     # (R, T, C) compute dtype
+    x2 = x2_ref[:]
+    m = m_ref[:]                       # (R, T, 1) float32 {0,1}
+    mm = m.astype(x1.dtype)            # (R, T, 1)
+    out_ref[:] = _mhca_compute(
+        x1, x2, mm, dw_ref[:], lnw_ref[:], lnb_ref[:], dwt_ref[:],
+        dbs_ref[:], heads=heads, eps=eps,
+    )
 
 
 def _pick_rows(b: int, t: int, c: int, itemsize: int) -> int:
