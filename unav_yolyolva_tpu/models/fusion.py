@@ -161,7 +161,12 @@ class MaxSigmoidCSPLayer(nn.Module):
         via shape-only submodule calls (outputs unused, DCE'd), then runs
         ops/pallas_csp.csp_fused on the packed weights."""
         from ..ops.pallas_csp import csp_fused, pack_csp_params
+        from ..ops.pallas_fusion import TRACED_FLOPS
 
+        # The declaration calls below are dead code (DCE'd by XLA and
+        # absent from post-optimization cost_analysis), so any kernel
+        # FLOPs they record at trace time must be dropped.
+        n_records = len(TRACED_FLOPS)
         tiny_x, tiny_m = x[:1, :8, : 2 * mid], mask[:1, :8]
         MaskedConv1D(2 * mid, 1, name="main_conv", dtype=self.dtype)(
             x[:1, :8], tiny_m
@@ -184,6 +189,7 @@ class MaxSigmoidCSPLayer(nn.Module):
                      dtype=self.dtype)(
             jnp.tile(tiny_x[..., :mid], (1, 1, 6)), tiny_m
         )
+        del TRACED_FLOPS[n_records:]
 
         p = self.variables["params"]
         dtype = self.dtype or x.dtype

@@ -239,9 +239,11 @@ def _record_csp_flops(b, t, cin, mid, ng, fg, emb, train):
              + 2 * b * t * emb * ng             # per-head scores (all heads)
              + 3 * 2 * b * t * mid * mid        # k=3 proj conv
              + 2 * b * t * 6 * mid * mid * 2)   # final (6mid -> cout~2mid)
-    fwd = mhca + dense
-    # train: fused primal + XLA-vjp backward (~3x the matmul work)
-    TRACED_FLOPS.append(float(fwd if not train else 3 * fwd))
+    # Only the fused FORWARD is invisible to XLA cost_analysis; the train
+    # path's custom-VJP backward is csp_reference's vjp — plain XLA ops
+    # that cost_analysis already counts. Recording more would double-count.
+    del train
+    TRACED_FLOPS.append(float(mhca + dense))
 
 
 def csp_fused(
