@@ -51,10 +51,14 @@ CSP_VMEM_LIMIT = 100 * 1024 * 1024
 
 def _csp_compute(x, g, mm, wmain, bmain, DW, LNW, LNB, DWT, DBS,
                  wg, bg, battn, wproj, bproj, wfinal, bfinal,
-                 *, attn_heads: int, mhca_heads: int, eps: float):
+                 *, attn_heads: int, mhca_heads: int, eps: float,
+                 mhca_fn=None):
     """Value-level CSP layer; mm is the (R, T, 1) mask in compute dtype.
     Mirrors models/fusion.py:MaxSigmoidCSPLayer exactly (same op order and
-    fp32 islands), so the kernel and the XLA reference share this body."""
+    fp32 islands), so the kernel and the XLA reference share this body.
+    `mhca_fn(x, mm, dw, lnw, lnb, dwt, dbs)` overrides how the three MHCA
+    blocks run (the backward recompute plugs in the fused MHCA custom-VJP
+    kernels here)."""
     r, t, cin = x.shape
     dtype = x.dtype
     mid = DWT.shape[-1]
@@ -72,11 +76,12 @@ def _csp_compute(x, g, mm, wmain, bmain, DW, LNW, LNB, DWT, DBS,
     parts = [y[..., :mid], y[..., mid:]]
 
     # three chained MaskedMHCA blocks
+    if mhca_fn is None:
+        def mhca_fn(h, mm_, *ws):
+            return _mhca_compute(h, h, mm_, *ws, heads=mhca_heads, eps=eps)
     for bi in range(3):
-        out = _mhca_compute(
-            parts[-1], parts[-1], mm, DW[bi], LNW[bi], LNB[bi],
-            DWT[bi], DBS[bi], heads=mhca_heads, eps=eps,
-        )
+        out = mhca_fn(parts[-1], mm, DW[bi], LNW[bi], LNB[bi],
+                      DWT[bi], DBS[bi])
         parts.append(out)
 
     # max-sigmoid guide attention (embed == mid => no embed conv,
@@ -213,11 +218,23 @@ def _csp_diff_fwd(attn_heads, mhca_heads, interpret, x, g, m, *weights):
 
 
 def _csp_diff_bwd(attn_heads, mhca_heads, interpret, res, gout):
+    """Backward = vjp of the XLA composition, with the three MHCA blocks
+    routed through the fused MHCA custom-VJP kernel pair (pallas_fusion):
+    the recompute forward and the MHCA grads run as Pallas kernels, only
+    the thin glue (main/final convs, guide attention, k=3 proj) is XLA."""
+    from .pallas_fusion import _mhca_diff
+
     x, g, m, weights = res
 
+    def mhca_fn(h, mm_, dw, lnw, lnb, dwt, dbs):
+        return _mhca_diff(h, h, mm_.astype(jnp.float32), dw, lnw, lnb,
+                          dwt, dbs, mhca_heads, 1e-5, interpret)
+
     def f(x_, g_, *ws):
-        return csp_reference(x_, g_, m, *ws, attn_heads=attn_heads,
-                             mhca_heads=mhca_heads)
+        mm = m.astype(x_.dtype)
+        return _csp_compute(x_, g_, mm, *ws, attn_heads=attn_heads,
+                            mhca_heads=mhca_heads, eps=1e-5,
+                            mhca_fn=mhca_fn)
 
     _, vjp = jax.vjp(f, x, g, *weights)
     grads = vjp(gout)
@@ -232,18 +249,22 @@ from .pallas_fusion import TRACED_FLOPS  # noqa: E402
 
 
 def _record_csp_flops(b, t, cin, mid, ng, fg, emb, train):
-    mhca = 3 * (18 * b * t * mid + 8 * b * t * mid * mid
-                + 4 * b * t * t * mid)
+    mhca_dense = 8 * b * t * mid * mid
+    mhca_attn = 4 * b * t * t * mid
+    mhca_fwd = 18 * b * t * mid + mhca_dense + mhca_attn
     dense = (2 * b * t * cin * 2 * mid          # main
              + 2 * b * ng * fg * emb            # guide_fc
              + 2 * b * t * emb * ng             # per-head scores (all heads)
              + 3 * 2 * b * t * mid * mid        # k=3 proj conv
              + 2 * b * t * 6 * mid * mid * 2)   # final (6mid -> cout~2mid)
-    # Only the fused FORWARD is invisible to XLA cost_analysis; the train
-    # path's custom-VJP backward is csp_reference's vjp — plain XLA ops
-    # that cost_analysis already counts. Recording more would double-count.
-    del train
-    TRACED_FLOPS.append(float(mhca + dense))
+    total = 3 * mhca_fwd + dense                # the fused forward kernel
+    if train:
+        # The backward's XLA glue is visible to cost_analysis, but its
+        # three MHCA blocks run as kernels: a recompute-forward each plus
+        # the fused bwd kernel (fwd recompute + ~2x the matmul work) —
+        # same executed-FLOPs convention as pallas_fusion._record_flops.
+        total += 3 * (2 * mhca_fwd + 2 * (mhca_dense + mhca_attn))
+    TRACED_FLOPS.append(float(total))
 
 
 def csp_fused(
