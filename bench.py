@@ -144,10 +144,17 @@ def main():
     # sliding-window drain: keep at most `window` detection sets live on
     # device so large --iters can't accumulate device memory, while the
     # D2H copies still overlap the next batches' compute
+    # BENCH_H2D=1: full-pipeline mode — every iteration re-uploads the host
+    # batch (jax.device_put is async on TPU, so the copy overlaps the
+    # previous batch's compute exactly like a double-buffered input
+    # pipeline). Quantifies the H2D cost the default protocol excludes.
+    include_h2d = os.environ.get("BENCH_H2D", "0") == "1"
     window = 4
     pending, done = [], 0
     t0 = time.perf_counter()
     for it in range(iters):
+        if include_h2d:
+            dev_batch = jax.device_put(batch)
         dets, losses = run(state, dev_batch)
         for leaf in jax.tree.leaves(dets):
             try:
@@ -193,7 +200,8 @@ def main():
         "value": round(vps, 3),
         "unit": "videos/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "protocol": "device_throughput_h2d_excluded",
+        "protocol": ("full_pipeline_h2d_included" if include_h2d
+                     else "device_throughput_h2d_excluded"),
         "batch": batch_size,
         "dtype": os.environ.get("BENCH_DTYPE", "float32"),
         "flops_per_video": round(flops_per_video / 1e9, 3) if flops_per_video else None,

@@ -116,13 +116,20 @@ class MaxSigmoidCSPLayer(nn.Module):
         # Fused Pallas path (ops/pallas_csp.py): the WHOLE layer — main
         # conv, 3 chained MHCAs, max-sigmoid guide attention, k=3 proj
         # conv, final conv — as one VMEM-resident kernel. Train runs the
-        # fused forward with the XLA composition's vjp as backward. Gated
-        # to TPU and to the flagship geometry (embed == mid: no embed
-        # conv); the T=7/14/28 levels are padded inside the wrapper.
+        # fused forward with a custom VJP routed through the fused MHCA
+        # kernels. Gated to TPU and to the flagship geometry (embed ==
+        # mid: no embed conv); the T=7/14/28 levels are padded inside the
+        # wrapper. UNAV_FUSED_CSP=never falls back to the XLA composition
+        # (which still uses the per-block fused MHCA kernels) without
+        # touching the MHCA knob.
+        import os
+
         from .blocks import FUSED_MHCA
 
+        fused_csp = os.environ.get("UNAV_FUSED_CSP", "auto")
         fused_ok = (
             FUSED_MHCA != "never"
+            and fused_csp != "never"
             and self.embed_channels == mid
             and mid % 128 == 0
             and (jax.default_backend() != "cpu" or FUSED_MHCA == "always")
