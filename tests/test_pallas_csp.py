@@ -149,3 +149,68 @@ def test_fused_csp_train_grads_match_xla():
     for (k, a), (_, b) in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4, err_msg=str(k))
+
+
+def test_fused_csp_sharded_matches_single_device():
+    """GSPMD cannot auto-partition a Mosaic kernel, so csp_fused
+    shard_maps over the registered mesh (x/guide/mask batch-sharded,
+    weights replicated). Forward and ALL grads — including the
+    replicated-weight psum inserted by shard_map's transpose and the
+    kernel-backed MHCA backward — must equal the single-device run on
+    the 8-virtual-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from unav_yolyolva_tpu.ops.pallas_csp import csp_fused, pack_csp_params
+    from unav_yolyolva_tpu.ops.pallas_fusion import set_fused_mesh
+
+    B8, T8 = 8, 16
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(B8, T8, CIN)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B8, NG, FG)).astype(np.float32))
+    mask = np.zeros((B8, T8), bool)
+    for i in range(B8):
+        mask[i, : rng.integers(1, T8 + 1)] = True
+    mask = jnp.asarray(mask)
+
+    layer = _layer()
+    prev = blocks.FUSED_MHCA
+    blocks.FUSED_MHCA = "never"
+    try:
+        params = layer.init(jax.random.PRNGKey(13), x, g, mask, train=True)
+    finally:
+        blocks.FUSED_MHCA = prev
+    packed = pack_csp_params(params["params"])
+    w = jnp.asarray(
+        rng.normal(size=(B8, T8, 2 * MID)).astype(np.float32)
+    )
+
+    def f(pk, a, b_):
+        out = csp_fused(a, b_, mask, *pk, attn_heads=4, train=True,
+                        interpret=True)
+        return jnp.sum(out * w)
+
+    set_fused_mesh(None)
+    try:
+        g1 = jax.grad(f, argnums=(0, 1, 2))(packed, x, g)
+        fw1 = csp_fused(x, g, mask, *packed, attn_heads=4, interpret=True)
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        set_fused_mesh(mesh)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        gfn = jax.jit(
+            jax.grad(f, argnums=(0, 1, 2)),
+            in_shardings=((repl,) * len(packed), data, data),
+        )
+        g8 = gfn(jax.device_put(packed, repl),
+                 jax.device_put(x, data), jax.device_put(g, data))
+        for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
+        fw8 = jax.jit(
+            lambda a, b_: csp_fused(a, b_, mask, *packed, attn_heads=4,
+                                    interpret=True)
+        )(jax.device_put(x, data), jax.device_put(g, data))
+        np.testing.assert_allclose(np.asarray(fw1), np.asarray(fw8),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        set_fused_mesh(None)
