@@ -313,3 +313,49 @@ def test_multiclass_nms_batch_sharded_matches_single_device():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     finally:
         set_fused_mesh(None)
+
+
+def test_decode_approx_topk_wiring():
+    """tpu.approx_topk routes the per-level candidate filter through
+    lax.approx_max_k. On CPU the fallback reduction is exact, so the
+    decoded candidate SET must equal the exact-top_k path's (order may
+    differ — approx_max_k makes no order guarantee); on TPU the knob is
+    an opt-in protocol deviation (recall_target 0.95)."""
+    import jax
+    from unav_yolyolva_tpu.geometry import generate_points
+    from unav_yolyolva_tpu.eval.decode import decode_single_video
+
+    T, C = 64, 8
+    reg_range = [(0, 4), (4, 8), (8, 16), (16, 32), (32, 64), (64, 10000)]
+    pts = generate_points(T, reg_range, 2)
+    rng = np.random.default_rng(5)
+    cls_logits = [
+        jnp.asarray(rng.normal(-2, 2, (p.shape[0], C)).astype(np.float32))
+        for p in pts
+    ]
+    offsets = [
+        jnp.asarray(rng.uniform(0.2, 2, (p.shape[0], C, 2))
+                    .astype(np.float32))
+        for p in pts
+    ]
+    masks = [jnp.ones((p.shape[0],), bool) for p in pts]
+    pts_j = [jnp.asarray(p) for p in pts]
+
+    kw = dict(pre_nms_thresh=0.001, pre_nms_topk=40, duration_thresh=0.05,
+              class_aware=True)
+    exact = decode_single_video(cls_logits, offsets, masks, pts_j, **kw)
+    approx = decode_single_video(cls_logits, offsets, masks, pts_j,
+                                 approx_topk=True, **kw)
+    assert approx[0].shape == exact[0].shape
+    assert approx[3].dtype == exact[3].dtype
+
+    def rows(out):
+        segs, scores, cls_i, valid = (np.asarray(x) for x in out)
+        v = valid.astype(bool)
+        r = np.concatenate(
+            [segs[v], scores[v, None], cls_i[v, None].astype(np.float32)],
+            axis=1,
+        )
+        return r[np.lexsort(r.T)]
+
+    np.testing.assert_allclose(rows(approx), rows(exact), rtol=1e-6)

@@ -138,6 +138,11 @@ DEFAULTS: Dict[str, Any] = {
         # more than the scan saves: 855 -> 743 v/s at 4096); it is a lever
         # for the XLA-fallback NMS path only.
         "nms_max_candidates": 0,
+        # opt-in: per-level candidate filter via the TPU-optimized
+        # lax.approx_max_k (recall_target 0.95) instead of exact top-k — a
+        # deliberate protocol deviation (may drop a few near-threshold
+        # candidates) for throughput; default False = reference-exact
+        "approx_topk": False,
     },
 }
 

@@ -31,6 +31,7 @@ def decode_single_video(
     duration_thresh: float,
     class_aware: bool,
     max_candidates: int = 0,
+    approx_topk: bool = False,
 ) -> Tuple[Array, Array, Array, Array]:
     """Per-level filter + top-k + offset decode for one video.
 
@@ -39,6 +40,12 @@ def decode_single_video(
     `max_candidates` > 0 the concatenation is additionally reduced to the
     global top-`max_candidates` by score (tpu.nms_max_candidates — caps the
     downstream NMS scan length; 0 preserves the reference candidate set).
+
+    `approx_topk` (tpu.approx_topk, opt-in) replaces the exact per-level
+    lax.top_k with the TPU-optimized lax.approx_max_k (recall_target
+    0.95): the candidate set may drop a few near-threshold candidates, a
+    deliberate protocol deviation for throughput. Default off = exact
+    reference semantics.
     """
     segs_all, scores_all, cls_all, valid_all = [], [], [], []
     for cls_i, off_i, mask_i, pts_i in zip(cls_logits, offsets, masks, points):
@@ -53,6 +60,11 @@ def decode_single_video(
             # its max by score each iteration and the final output is
             # re-ranked globally (ops/nms.py:batched_nms tail).
             top_p, top_idx = flat, jnp.arange(t_l * c, dtype=jnp.int32)
+        elif approx_topk:
+            top_p, top_idx = jax.lax.approx_max_k(
+                flat, k, recall_target=0.95
+            )
+            top_idx = top_idx.astype(jnp.int32)
         else:
             top_p, top_idx = jax.lax.top_k(flat, k)
         keep = top_p > pre_nms_thresh
@@ -95,6 +107,7 @@ def decode_predictions(
     test_cfg: Dict,
     class_aware: bool = True,
     max_candidates: int = 0,
+    approx_topk: bool = False,
 ):
     """vmap decode over the batch. `points` are static per-level host arrays."""
     points_j = [jnp.asarray(p) for p in points]
@@ -107,6 +120,7 @@ def decode_predictions(
             duration_thresh=test_cfg["duration_thresh"],
             class_aware=class_aware,
             max_candidates=max_candidates,
+            approx_topk=approx_topk,
         )
 
     return jax.vmap(single)(

@@ -212,6 +212,7 @@ def make_eval_step(
                 duration_thresh=test_cfg["duration_thresh"],
                 class_aware=class_aware,
                 max_candidates=cfg.get("tpu", {}).get("nms_max_candidates", 0),
+                approx_topk=cfg.get("tpu", {}).get("approx_topk", False),
             )
 
         segs, scores, cls_idx, valid = jax.vmap(decode_one)(
