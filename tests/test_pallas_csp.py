@@ -214,3 +214,31 @@ def test_fused_csp_sharded_matches_single_device():
                                    rtol=1e-6, atol=1e-6)
     finally:
         set_fused_mesh(None)
+
+
+def test_fused_csp_bf16_close():
+    """Under the bf16 compute policy the fused layer must track the XLA
+    bf16 path within bf16 tolerance (both share fp32 LN/softmax/matmul-
+    accumulation islands)."""
+    x, g, mask = _inputs(4, 16, [16, 11, 16])
+    layer = MaxSigmoidCSPLayer(
+        in_channels=CIN, out_channels=2 * MID, guide_in_features=FG,
+        embed_channels=MID, num_heads=4, dtype=jnp.bfloat16,
+    )
+    prev = blocks.FUSED_MHCA
+    blocks.FUSED_MHCA = "never"
+    try:
+        params = layer.init(jax.random.PRNGKey(4), x, g, mask, train=True)
+        ref, _ = layer.apply(params, x, g, mask, train=False)
+    finally:
+        blocks.FUSED_MHCA = prev
+    blocks.FUSED_MHCA = "always"
+    try:
+        out, _ = layer.apply(params, x, g, mask, train=False)
+    finally:
+        blocks.FUSED_MHCA = prev
+    assert out.dtype == ref.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
