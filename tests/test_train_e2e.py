@@ -190,6 +190,17 @@ def test_checkpoint_atomicity(trained, tmp_path):
     picked = find_latest_checkpoint(folder)
     assert picked == os.path.join(folder, "model_best")
 
+    # crash in the swap window between the two renames: <name> gone,
+    # only <name>.old (the last COMPLETE checkpoint) left behind —
+    # find_latest_checkpoint must restore and select it
+    os.rename(os.path.join(folder, "model_best"),
+              os.path.join(folder, "model_best.old"))
+    picked = find_latest_checkpoint(folder)
+    assert picked == os.path.join(folder, "model_best")
+    assert os.path.exists(os.path.join(folder, "model_best", "meta.json"))
+    restored = load_checkpoint(picked, state)
+    assert restored["epoch"] == 1
+
 
 def test_decay_mask_rules(trained):
     from unav_yolyolva_tpu.train.optim import decay_mask

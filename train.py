@@ -68,8 +68,16 @@ def main(args):
         f"_batch_{cfg['loader']['batch_size']}"
     )
     os.makedirs(cfg["output_folder"], exist_ok=True)
+    ts = int(time.time())
+    if jax.process_count() > 1:
+        # all processes must agree on the timestamped folder name (shared
+        # filesystem assumed for multi-host checkpoints, as is standard)
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        ts = int(multihost_utils.broadcast_one_to_all(_np.int64(ts)))
     suffix = args.output or str(
-        datetime.datetime.fromtimestamp(int(time.time()))
+        datetime.datetime.fromtimestamp(ts)
     ).replace(" ", "_")
     ckpt_folder = os.path.join(cfg["output_folder"], f"{model_name}_{suffix}")
     os.makedirs(ckpt_folder, exist_ok=True)
@@ -229,7 +237,18 @@ def main(args):
     # Quirk parity: the reference loads `state_dict` (the RAW weights, not the
     # EMA) for this final pass, unlike eval.py which always uses the EMA.
     best_dir = os.path.join(ckpt_folder, "model_best")
-    if cfg["train_cfg"]["evaluate"] and os.path.isdir(best_dir):
+    do_final = cfg["train_cfg"]["evaluate"] and os.path.isdir(best_dir)
+    if jax.process_count() > 1:
+        # the decision must be COLLECTIVE: a process that skipped while
+        # others entered the sharded eval would deadlock the collectives.
+        # Process 0 (the checkpoint writer) decides.
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        do_final = bool(
+            multihost_utils.broadcast_one_to_all(_np.int32(do_final))
+        )
+    if do_final:
         print("Loading the best model ...")
         restored = load_checkpoint(best_dir, state)
         final_eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=False)

@@ -274,19 +274,9 @@ def multiclass_nms_batch(
     # GSPMD cannot auto-partition a Mosaic kernel: inside a >1-device
     # mesh-sharded eval step this must run per batch shard via shard_map
     # (same constraint and registry as the fused MHCA kernels).
-    from .pallas_fusion import SHARD_MESH
+    from .pallas_fusion import shard_over_batch
 
-    mesh = SHARD_MESH
-    if mesh is not None and b % mesh.devices.size == 0:
-        from jax.sharding import PartitionSpec as P
-
-        data = P(mesh.axis_names[0])
-        call = jax.shard_map(
-            call, mesh=mesh,
-            in_specs=(data, data, data),
-            out_specs=(data, data, data),
-            check_vma=False,
-        )
+    call = shard_over_batch(call, b, n_data=3, n_data_out=3)
     idx, sc, ok = call(
         segs, jnp.where(valid, scores, -jnp.inf), cls_idxs
     )

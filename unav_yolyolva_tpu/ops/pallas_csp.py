@@ -300,18 +300,9 @@ def csp_fused(
 
     # >1-device mesh: same GSPMD constraint as the MHCA kernels — guide is
     # batch-sharded too, weights replicated
-    from jax.sharding import PartitionSpec as P
-    from .pallas_fusion import SHARD_MESH
+    from .pallas_fusion import shard_over_batch
 
-    mesh = SHARD_MESH
-    if mesh is not None and b % mesh.devices.size == 0:
-        data = P(mesh.axis_names[0])
-        call = jax.shard_map(
-            call, mesh=mesh,
-            in_specs=(data, data, data) + (P(),) * len(weights),
-            out_specs=data,
-            check_vma=False,
-        )
+    call = shard_over_batch(call, b, n_data=3, n_repl=len(weights))
     out = call(x, guide, m, *weights)
     return out[:, :t] if t8 != t else out
 

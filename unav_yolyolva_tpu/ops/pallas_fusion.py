@@ -194,26 +194,38 @@ def set_fused_mesh(mesh) -> None:
     )
 
 
-def _maybe_shard_map(call, b):
-    """Wrap `call` in a batch-sharded shard_map when a >1-device mesh is
-    registered. Falls through when the batch does not divide the mesh
-    (the step builders enforce divisibility for train; eval pads)."""
+def shard_over_batch(call, b, n_data: int, n_repl: int = 0,
+                     n_data_out: int = 1):
+    """Wrap a Mosaic-kernel-bearing `call` in a batch-sharded shard_map
+    when a >1-device mesh is registered (GSPMD cannot auto-partition a
+    Pallas custom call): the first `n_data` args are batch-sharded, the
+    next `n_repl` replicated; `n_data_out` outputs are batch-sharded.
+    Falls through when the batch does not divide the mesh (the step
+    builders enforce divisibility for train; eval pads).
+
+    check_vma=False: pallas out_shapes carry no vma annotation; the
+    transpose still inserts the cross-shard psum for the replicated
+    weight operands (asserted equal to single-device grads in tests)."""
     mesh = SHARD_MESH
     if mesh is None or b % mesh.devices.size != 0:
         return call
     from jax.sharding import PartitionSpec as P
 
     data = P(mesh.axis_names[0])
-    # check_vma=False: pallas out_shapes carry no vma annotation; the
-    # transpose still inserts the cross-shard psum for the replicated
-    # weight operands (asserted equal to single-device grads in tests).
+    out_specs = (data,) * n_data_out if n_data_out > 1 else data
     return jax.shard_map(
         call,
         mesh=mesh,
-        in_specs=(data, data, data, P(), P(), P(), P(), P()),
-        out_specs=data,
+        in_specs=(data,) * n_data + (P(),) * n_repl,
+        out_specs=out_specs,
         check_vma=False,
     )
+
+
+def _maybe_shard_map(call, b):
+    """MHCA kernel form: (x1, x2, mask) batch-sharded + 5 replicated
+    weight packs -> one batch-sharded output."""
+    return shard_over_batch(call, b, n_data=3, n_repl=5)
 
 
 def _record_flops(b: int, t: int, c: int, train: bool) -> None:

@@ -78,7 +78,9 @@ def save_checkpoint(
         json.dump(meta, f)
 
     # swap the staged dir into place; the previous complete checkpoint
-    # survives (as <name>.old) until the rename has succeeded
+    # survives (as <name>.old) until the rename has succeeded. A crash in
+    # the window between the two renames leaves only <name>.old —
+    # _recover_displaced restores it on the next find/save.
     old_dir = ckpt_dir + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.exists(ckpt_dir):
@@ -86,6 +88,23 @@ def save_checkpoint(
     os.rename(tmp_dir, ckpt_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
     return ckpt_dir
+
+
+def _recover_displaced(folder: str) -> None:
+    """Finish an interrupted save_checkpoint swap: if `<name>.old` exists
+    but `<name>` does not (crash between the two renames), the displaced
+    dir IS the last complete checkpoint — rename it back."""
+    try:
+        entries = os.listdir(folder)
+    except OSError:
+        return
+    for d in entries:
+        if d.endswith(".old"):
+            ckpt_dir = os.path.join(folder, d[: -len(".old")])
+            if not os.path.exists(ckpt_dir) and os.path.exists(
+                os.path.join(folder, d, "meta.json")
+            ):
+                os.rename(os.path.join(folder, d), ckpt_dir)
 
 
 def load_checkpoint(
@@ -128,6 +147,7 @@ def find_latest_checkpoint(folder: str) -> Optional[str]:
     save_checkpoint are never candidates."""
     if os.path.exists(os.path.join(folder, "meta.json")):
         return folder
+    _recover_displaced(folder)
     cands = sorted(
         d for d in os.listdir(folder)
         if not d.endswith((".tmp", ".old"))

@@ -24,14 +24,20 @@ ARRAY_KEYS_EVAL = ARRAY_KEYS_TRAIN + (
 )
 
 
-def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False) -> Dict:
+def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False,
+                  pad_to: int = 0) -> Dict:
     """Move a numpy batch onto the mesh, batch axis sharded.
 
     Single-process: the batch is global. Multi-process (multi-host DP):
     the TRAIN batcher already yields process-local rows (pipeline.py),
     while the EVAL batcher yields the full global batch on every process —
-    here it is padded to a mesh multiple and this process's contiguous row
-    block is extracted before shard_batch assembles the global jax.Array.
+    here it is padded and this process's contiguous row block is extracted
+    before shard_batch assembles the global jax.Array.
+
+    `pad_to` (eval only): pad the batch axis to this FIXED global size
+    rather than the next mesh multiple, so the final partial batch reuses
+    the one compiled shape (mandatory with an AOT-compiled multi-host
+    step, which rejects any other batch dim).
     """
     sub = {k: batch[k] for k in keys}
     if mesh is None:
@@ -51,7 +57,8 @@ def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False) -> Dict
             )
         return shard_batch(sub, mesh)
 
-    if b % n_dev:
+    target = max(pad_to, -(-b // n_dev) * n_dev)
+    if b != target:
         # zero-padding the batch axis is only legal on the EVAL path
         # (the harvest loop iterates batch["video_id"] — real count
         # only — so padded rows never reach the results). Training on
@@ -61,7 +68,7 @@ def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False) -> Dict
                 f"train batch size {b} not divisible by mesh size "
                 f"{n_dev}; refusing to zero-pad a training batch"
             )
-        pad = n_dev - b % n_dev
+        pad = target - b
         sub = {
             k: np.concatenate(
                 [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
@@ -95,6 +102,7 @@ def train_one_epoch(
     start = time.time()
     last_losses = {}
     losses = None
+    it = tracked_it = -1
     for it, batch in enumerate(batcher):
         db = _device_batch(batch, ARRAY_KEYS_TRAIN, mesh)
         state, losses = train_step(state, db, rng)
@@ -106,6 +114,7 @@ def train_one_epoch(
             last_losses = {k: float(v) for k, v in losses.items()}
             for k, v in last_losses.items():
                 trackers.setdefault(k, AverageMeter()).update(v)
+            tracked_it = it
             step_i = int(jax.device_get(state.step))
             lr = float(schedule(step_i - 1)) if schedule else float("nan")
             if tb_writer is not None:
@@ -120,12 +129,15 @@ def train_one_epoch(
             if fl:
                 line += f"\tLoss {fl.val:.2f} ({fl.avg:.2f})"
             print(line)
-    if losses is not None:
+    if losses is not None and tracked_it != it:
+        # fold the final step into the epoch averages — unless the loop's
+        # print block just did (last iteration on a print_freq multiple),
+        # which would double-count it
         jax.block_until_ready(losses)
         last_losses = {k: float(v) for k, v in losses.items()}
         for k, v in last_losses.items():
             trackers.setdefault(k, AverageMeter()).update(v)
-    else:
+    elif losses is None:
         jax.block_until_ready(state.params)
     print(f"[Train]: Epoch {epoch:d} finished")
     # epoch stats are the tracker AVERAGES (sampled every print_freq steps
@@ -177,9 +189,17 @@ def valid_one_epoch(
     # NB: on a non-divisible final batch the zero-padded rows participate in
     # the (batch-mean) val losses, so those are slightly diluted for that
     # one batch; mAP is unaffected (padded rows are never harvested).
+    # ONE compiled eval shape: every batch (incl. a partial final one) is
+    # padded to the same fixed global size; with an AOT-compiled multi-host
+    # step any other batch dim would be rejected outright
+    pad_to = 0
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pad_to = -(-getattr(batcher, "batch_size", 0) // n_dev) * n_dev
     pending = None
     for it, batch in enumerate(batcher):
-        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True)
+        db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True,
+                           pad_to=pad_to)
         dets, losses = eval_step(state, db)
         for leaf in jax.tree.leaves(dets):
             try:
@@ -211,10 +231,14 @@ def valid_one_epoch(
             results = postprocess_results(results, ext_score_file)
         _, mAP = evaluator.evaluate(results, verbose=True)
     else:
-        import pickle
+        # multi-host: every process holds the identical (replicated)
+        # detections — only process 0 writes, or concurrent writers race
+        # on the same shared-FS path and corrupt the pickle
+        if jax.process_index() == 0:
+            import pickle
 
-        with open(output_file, "wb") as f:
-            pickle.dump(results, f)
+            with open(output_file, "wb") as f:
+                pickle.dump(results, f)
         mAP = 0.0
 
     if tb_writer is not None:

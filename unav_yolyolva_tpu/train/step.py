@@ -311,11 +311,20 @@ def precompile_eval_step(eval_step, state, cfg: Dict, mesh):
     from ..parallel.sync import barrier
     from .loop import ARRAY_KEYS_EVAL, _device_batch
 
+    # compile for the ONE fixed eval shape valid_one_epoch pads every
+    # batch to: ceil(global batch_size / n_dev) * n_dev
+    n_dev = mesh.devices.size
+    bsz = cfg["loader"]["batch_size"]
+    b_star = -(-bsz // n_dev) * n_dev
     local = _dummy_local_batch(cfg, with_eval_meta=True)
+    lb = local["visual"].shape[0]
+    reps = -(-b_star // max(lb, 1))
     global_batch = {
-        k: np.concatenate([v] * n_proc, axis=0) for k, v in local.items()
+        k: np.concatenate([v] * reps, axis=0)[:b_star]
+        for k, v in local.items()
     }
-    db0 = _device_batch(global_batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True)
+    db0 = _device_batch(global_batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True,
+                        pad_to=b_star)
     compiled = eval_step.precompile(state, db0)
     barrier("eval_step_compiled")
     return compiled
