@@ -132,6 +132,11 @@ class MaxSigmoidCSPLayer(nn.Module):
             and fused_csp != "never"
             and self.embed_channels == mid
             and mid % 128 == 0
+            # the kernel hardcodes the flagship structure: exactly 3 MHCA
+            # blocks, and in_channels wide enough for _fused's 2*mid-wide
+            # declaration slices — any other geometry takes the XLA path
+            and self.num_blocks == 3
+            and self.in_channels >= 2 * mid
             and (jax.default_backend() != "cpu" or FUSED_MHCA == "always")
         )
         if fused_ok:

@@ -28,7 +28,14 @@ from .blocks import ChannelLayerNorm, LearnableScale, MaskedConv1D
 
 Array = jnp.ndarray
 
-PACKED_HEADS = os.environ.get("UNAV_PACKED_HEADS", "auto")
+PACKED_HEADS = "auto"
+
+
+def _packed_mode() -> str:
+    """Resolve the packing knob at CALL time (not import time, matching
+    UNAV_FUSED_CSP's semantics): the env var wins, then the module global
+    (which tests mutate directly)."""
+    return os.environ.get("UNAV_PACKED_HEADS", PACKED_HEADS)
 
 
 def _pack_levels(feats: List[Array], masks: List[Array], gap: int):
@@ -128,7 +135,7 @@ class ClsHead(nn.Module):
             ),
             name="cls_head",
         )
-        if PACKED_HEADS != "never" and len(feats) > 1:
+        if _packed_mode() != "never" and len(feats) > 1:
             px, pm, keep, slices = _pack_levels(
                 feats, masks, self.kernel_size // 2
             )
@@ -162,7 +169,7 @@ class RegHead(nn.Module):
         )
         out_dim = 2 * self.num_classes if self.class_aware else 2
         offset_head = MaskedConv1D(out_dim, self.kernel_size, name="offset_head")
-        if PACKED_HEADS != "never" and len(feats) > 1:
+        if _packed_mode() != "never" and len(feats) > 1:
             px, pm, keep, slices = _pack_levels(
                 feats, masks, self.kernel_size // 2
             )

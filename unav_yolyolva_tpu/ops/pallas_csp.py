@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fusion import _mhca_compute
+from .pallas_fusion import (_mhca_compute, batch_block_spec,
+                            replicated_spec)
 
 Array = jnp.ndarray
 
@@ -166,18 +167,11 @@ def _csp_fwd_call(x, g, m, *weights, attn_heads, mhca_heads, eps,
     grid = (b // r,)
 
     def row_spec(c):
-        return pl.BlockSpec((r, t, c), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+        return batch_block_spec(r, t, c)
 
-    def w_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
-    g_spec = pl.BlockSpec((r,) + g.shape[1:], lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    m_spec = pl.BlockSpec((r, t, 1), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
+    w_spec = replicated_spec
+    g_spec = batch_block_spec(r, *g.shape[1:])
+    m_spec = batch_block_spec(r, t, 1)
 
     return pl.pallas_call(
         functools.partial(_csp_kernel, attn_heads=attn_heads,
@@ -248,7 +242,7 @@ _csp_diff.defvjp(_csp_diff_fwd, _csp_diff_bwd)
 from .pallas_fusion import TRACED_FLOPS  # noqa: E402
 
 
-def _record_csp_flops(b, t, cin, mid, ng, fg, emb, train):
+def _record_csp_flops(b, t, cin, mid, ng, fg, emb, cout, train):
     mhca_dense = 8 * b * t * mid * mid
     mhca_attn = 4 * b * t * t * mid
     mhca_fwd = 18 * b * t * mid + mhca_dense + mhca_attn
@@ -256,7 +250,7 @@ def _record_csp_flops(b, t, cin, mid, ng, fg, emb, train):
              + 2 * b * ng * fg * emb            # guide_fc
              + 2 * b * t * emb * ng             # per-head scores (all heads)
              + 3 * 2 * b * t * mid * mid        # k=3 proj conv
-             + 2 * b * t * 6 * mid * mid * 2)   # final (6mid -> cout~2mid)
+             + 2 * b * t * 6 * mid * cout)      # final (6mid -> cout)
     total = 3 * mhca_fwd + dense                # the fused forward kernel
     if train:
         # The backward's XLA glue is visible to cost_analysis, but its
@@ -282,7 +276,7 @@ def csp_fused(
     b, t, cin = x.shape
     mid = weights[6].shape[-1]
     _record_csp_flops(b, t, cin, mid, guide.shape[1], guide.shape[2],
-                      weights[7].shape[-1], train)
+                      weights[7].shape[-1], weights[12].shape[-1], train)
 
     t8 = -(-t // 8) * 8
     if t8 != t:

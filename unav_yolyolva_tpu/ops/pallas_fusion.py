@@ -131,6 +131,21 @@ def _pick_rows(b: int, t: int, c: int, itemsize: int) -> int:
     return 1
 
 
+def batch_block_spec(r: int, *dims: int):
+    """BlockSpec for a batch-tiled (R, *dims) operand resident in VMEM —
+    the i-th grid program sees rows [i*R, (i+1)*R). Shared by every fused
+    kernel in this module and ops/pallas_csp.py."""
+    return pl.BlockSpec((r,) + dims, lambda i: (i,) + (0,) * len(dims),
+                        memory_space=pltpu.VMEM)
+
+
+def replicated_spec(shape):
+    """BlockSpec for a weight operand replicated to every grid program."""
+    nd = len(shape)
+    return pl.BlockSpec(tuple(shape), lambda i: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
 def _mhca_fwd_call(x1, x2, m, dw, lnw, lnb, dwt, dbs, *, heads, eps,
                    interpret):
     """pallas_call for the forward; m is the (B, T, 1) float32 mask (the
@@ -140,15 +155,9 @@ def _mhca_fwd_call(x1, x2, m, dw, lnw, lnb, dwt, dbs, *, heads, eps,
     r = _pick_rows(b, t, c, x1.dtype.itemsize)
     grid = (b // r,)
 
-    row_spec = pl.BlockSpec((r, t, c), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((r, t, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    def w_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd,
-                            memory_space=pltpu.VMEM)
+    row_spec = batch_block_spec(r, t, c)
+    mask_spec = batch_block_spec(r, t, 1)
+    w_spec = replicated_spec
 
     return pl.pallas_call(
         functools.partial(_mhca_kernel, heads=heads, eps=eps),
@@ -509,15 +518,9 @@ def _mhca_diff_bwd(heads, eps, interpret, res, g):
     b, t, c = x1.shape
     r = _pick_rows_bwd(b, t, c, x1.dtype.itemsize)
     grid = (b // r,)
-    row_spec = pl.BlockSpec((r, t, c), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((r, t, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    def w_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd,
-                            memory_space=pltpu.VMEM)
+    row_spec = batch_block_spec(r, t, c)
+    mask_spec = batch_block_spec(r, t, 1)
+    w_spec = replicated_spec
 
     f32 = jnp.float32
     out_shapes = (

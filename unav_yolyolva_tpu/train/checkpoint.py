@@ -79,13 +79,20 @@ def save_checkpoint(
 
     # swap the staged dir into place; the previous complete checkpoint
     # survives (as <name>.old) until the rename has succeeded. A crash in
-    # the window between the two renames leaves only <name>.old —
-    # _recover_displaced restores it on the next find/save.
+    # the window between the two renames leaves only <name>.old, which
+    # find_latest_checkpoint restores via _recover_displaced.
     old_dir = ckpt_dir + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.exists(ckpt_dir):
         os.rename(ckpt_dir, old_dir)
-    os.rename(tmp_dir, ckpt_dir)
+    try:
+        os.rename(tmp_dir, ckpt_dir)
+    except OSError:
+        # a concurrent find_latest_checkpoint (e.g. eval.py on a live run)
+        # recovered <name>.old into place between our two renames; the
+        # staged dir is the newer checkpoint — replace the recovered one
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        os.rename(tmp_dir, ckpt_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
     return ckpt_dir
 
@@ -93,7 +100,12 @@ def save_checkpoint(
 def _recover_displaced(folder: str) -> None:
     """Finish an interrupted save_checkpoint swap: if `<name>.old` exists
     but `<name>` does not (crash between the two renames), the displaced
-    dir IS the last complete checkpoint — rename it back."""
+    dir IS the last complete checkpoint — rename it back.
+
+    Racing a LIVE save_checkpoint mid-swap is tolerated: the rename here
+    is best-effort (the loser's rename raises and is swallowed), and
+    save_checkpoint's final rename replaces a recovered dir if one
+    appeared in its window."""
     try:
         entries = os.listdir(folder)
     except OSError:
@@ -104,7 +116,10 @@ def _recover_displaced(folder: str) -> None:
             if not os.path.exists(ckpt_dir) and os.path.exists(
                 os.path.join(folder, d, "meta.json")
             ):
-                os.rename(os.path.join(folder, d), ckpt_dir)
+                try:
+                    os.rename(os.path.join(folder, d), ckpt_dir)
+                except OSError:
+                    pass  # a concurrent saver/recoverer won the race
 
 
 def load_checkpoint(
