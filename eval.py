@@ -54,9 +54,9 @@ def main(args):
         assert os.path.isfile(args.ckpt), "CKPT file does not exist!"
         torch_ckpt = args.ckpt
         ckpt_dir = None
-    elif os.path.exists(os.path.join(args.ckpt, "meta.json")):
-        ckpt_dir = args.ckpt
     else:
+        # find_latest_checkpoint returns the folder itself when it IS a
+        # checkpoint dir (contains meta.json), else the newest inside
         ckpt_dir = find_latest_checkpoint(args.ckpt)
         assert ckpt_dir is not None, "no checkpoint found"
 

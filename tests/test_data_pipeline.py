@@ -146,3 +146,25 @@ def test_batcher_deterministic_order(synth):
     b1.set_epoch(1)
     ids3 = [tuple(x["video_id"]) for x in b1]
     assert ids1 != ids3  # reshuffled across epochs
+
+
+def test_batcher_producer_exception_propagates(synth):
+    """A producer-thread failure (e.g. a corrupt feature file) must raise
+    in the consumer, not deadlock it in out_q.get()."""
+    cfg = make_cfg(synth, max_seq_len=128, batch_size=2)
+    ds = UnAV100Dataset(True, ("train",), **cfg["dataset"])
+    b = make_batcher(ds, cfg, True, seed=0)
+
+    orig = ds.load_item
+
+    def boom(j, rng):
+        raise RuntimeError("corrupt feature file")
+
+    ds.load_item = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="corrupt feature file"):
+            list(b)
+    finally:
+        ds.load_item = orig

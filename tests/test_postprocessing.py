@@ -67,3 +67,38 @@ def test_matches_reference(tmp_path):
     np.testing.assert_allclose(ours["t-start"], ref["t-start"], rtol=1e-12)
     np.testing.assert_allclose(ours["t-end"], ref["t-end"], rtol=1e-12)
     np.testing.assert_allclose(ours["score"], ref["score"], rtol=1e-12)
+
+
+def test_missing_video_passes_through_unfused(tmp_path):
+    """Videos absent from the score file keep their detections UNFUSED
+    (the reference crashes with KeyError there; silently dropping them
+    would deflate mAP invisibly)."""
+    rng = np.random.default_rng(3)
+    res = _fake_results(rng, n_vids=3)
+    scores = {"v000": rng.uniform(0, 1, 10), "v001": rng.uniform(0, 1, 10)}
+    f = str(tmp_path / "scores.pkl")
+    with open(f, "wb") as fh:
+        pickle.dump(scores, fh)
+    out = postprocess_results(res, f, num_pred=200, topk=2)
+    vids = np.asarray(out["video-id"])
+    # covered videos are fused (topk expansion), the missing one intact
+    mask = vids == "v002"
+    assert mask.sum() == 30
+    orig = np.asarray(res["video-id"]) == "v002"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["score"])[mask]),
+        np.sort(np.asarray(res["score"])[orig]),
+    )
+
+
+def test_results_to_dict_shape():
+    from unav_yolyolva_tpu.eval.postprocessing import results_to_dict
+
+    rng = np.random.default_rng(4)
+    res = _fake_results(rng, n_vids=2, dets_per_vid=5)
+    d = results_to_dict(res)
+    assert set(d) == {"v000", "v001"}
+    assert len(d["v000"]) == 5
+    row = d["v000"][0]
+    assert set(row) == {"label", "score", "segment"}
+    assert len(row["segment"]) == 2

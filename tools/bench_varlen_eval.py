@@ -93,7 +93,7 @@ def main():
         if len(items) < batch_size:
             continue
         batches.append(collate(
-            items, max_seq_len=224, max_num_events=64, max_div_factor=32,
+            items, max_seq_len=224, max_num_events=64,
             training=False,
         ))
 

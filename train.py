@@ -151,10 +151,15 @@ def main(args):
                                mesh=mesh)
 
     start_epoch = 0
+    resumed_best_mAP = 0.0
     if args.resume:
         restored = load_checkpoint(args.resume, state)
         state, start_epoch = restored["state"], restored["epoch"] + 1
-        print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch - 1})")
+        # restore the best-so-far mAP so the first post-resume eval cannot
+        # clobber a better pre-resume model_best
+        resumed_best_mAP = float(restored["meta"].get("best_mAP", 0.0))
+        print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch - 1},"
+              f" best mAP so far {resumed_best_mAP:.4f})")
 
     if is_main:
         with open(os.path.join(ckpt_folder, "config.txt"), "w") as fid:
@@ -191,7 +196,7 @@ def main(args):
     max_epochs = cfg["opt"].get(
         "early_stop_epochs", cfg["opt"]["epochs"] + cfg["opt"]["warmup_epochs"]
     )
-    best_mAP = 0.0
+    best_mAP = resumed_best_mAP
     print(f"\nStart training model {cfg['model_name']} ...")
     for epoch in range(start_epoch, max_epochs):
         state, train_stats = train_one_epoch(
@@ -214,7 +219,8 @@ def main(args):
                     best_mAP = avg_mAP
                     if is_main:
                         save_checkpoint(state, epoch, ckpt_folder,
-                                        is_best=True)
+                                        is_best=True,
+                                        extra_meta={"best_mAP": best_mAP})
                 if wandb_run is not None:
                     wandb_run.log(
                         {"val_epoch_mAP": avg_mAP}, step=epoch

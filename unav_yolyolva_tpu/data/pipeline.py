@@ -51,7 +51,6 @@ def collate(
     *,
     max_seq_len: int,
     max_num_events: int,
-    max_div_factor: int,
     training: bool,
 ) -> Dict:
     lens = np.asarray([it["visual"].shape[0] for it in items])
@@ -118,7 +117,6 @@ class Batcher:
         batch_size: int,
         *,
         max_num_events: int = 64,
-        max_div_factor: int = 32,
         shuffle: bool = True,
         drop_last: bool = True,
         seed: int = 0,
@@ -145,7 +143,6 @@ class Batcher:
                 f"{process_count} processes"
             )
         self.max_num_events = max_num_events
-        self.max_div_factor = max_div_factor
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -200,19 +197,24 @@ class Batcher:
             rng = random.Random(
                 (self.seed + self.epoch) * 7919 + thread_id
             )
-            for bi in range(thread_id, len(batches), self.num_threads):
-                if stop.is_set():
-                    return
-                items = [self.dataset.load_item(j, rng) for j in batches[bi]]
-                batch = collate(
-                    items,
-                    max_seq_len=self.dataset.max_seq_len,
-                    max_num_events=self.max_num_events,
-                    max_div_factor=self.max_div_factor,
-                    training=self.dataset.is_training,
-                )
-                if not put_or_stop((bi, batch)):
-                    return
+            try:
+                for bi in range(thread_id, len(batches), self.num_threads):
+                    if stop.is_set():
+                        return
+                    items = [
+                        self.dataset.load_item(j, rng) for j in batches[bi]
+                    ]
+                    batch = collate(
+                        items,
+                        max_seq_len=self.dataset.max_seq_len,
+                        max_num_events=self.max_num_events,
+                        training=self.dataset.is_training,
+                    )
+                    if not put_or_stop((bi, batch)):
+                        return
+            except BaseException as e:  # propagate: a silently dead
+                # producer would deadlock the consumer in out_q.get()
+                put_or_stop((-1, e))
 
         threads = [
             threading.Thread(target=produce, args=(i,), daemon=True)
@@ -227,6 +229,8 @@ class Batcher:
             while next_bi < len(batches):
                 while next_bi not in pending:
                     bi, batch = out_q.get()
+                    if bi == -1:  # a producer raised — re-raise here
+                        raise batch
                     pending[bi] = batch
                 yield pending.pop(next_bi)
                 next_bi += 1
@@ -239,10 +243,6 @@ class Batcher:
 
 
 def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batcher:
-    max_div = max(
-        cfg["model"]["scale_factor"] ** i
-        for i in range(len(cfg["model"]["regression_range"]))
-    )
     # multi-host DP: the train batcher loads only this process's rows
     # (jax import deferred — the pipeline itself is numpy-only)
     process_index, process_count = 0, 1
@@ -254,7 +254,6 @@ def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batche
         dataset,
         cfg["loader"]["batch_size"],
         max_num_events=cfg["dataset"].get("max_num_events", 64),
-        max_div_factor=max_div,
         shuffle=is_training,
         drop_last=is_training,
         seed=seed,

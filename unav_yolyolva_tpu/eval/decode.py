@@ -128,9 +128,6 @@ def decode_predictions(
     )
 
 
-NMS_METHODS = {"hard": 0, "linear": 1, "soft": 2}
-
-
 def postprocess_batch(
     segs: Array,       # (B, K, 2) feature-grid units
     scores: Array,     # (B, K)
@@ -146,6 +143,9 @@ def postprocess_batch(
 ):
     """NMS + grid->seconds conversion for a batch (meta_archs.py:819-875)."""
     method = test_cfg["nms_method"]
+    # same contract as the reference (meta_archs.py:332); "hard" runs the
+    # greedy cut, "soft" the gaussian decay — there is no "linear" mode
+    assert method in ("soft", "hard", "none"), method
 
     if method != "none":
         use_pallas = jax.default_backend() != "cpu"

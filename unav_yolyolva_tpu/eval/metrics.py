@@ -48,9 +48,12 @@ def load_gt_seg_from_json(json_file: str, split: Optional[str] = None):
         db = json.load(f)["database"]
     vids, starts, stops, labels = [], [], [], []
     for k, v in db.items():
-        if split is not None and v["subset"].lower() != split:
+        # case-insensitive on BOTH sides (the dataset loader lowercases
+        # both, annotations.py) and tolerant of annotation-less videos
+        # (dataset side uses .get too)
+        if split is not None and v["subset"].lower() != split.lower():
             continue
-        ants = remove_duplicate_annotations(v["annotations"])
+        ants = remove_duplicate_annotations(v.get("annotations", []))
         for event in ants:
             vids.append(k)
             starts.append(float(event["segment"][0]))

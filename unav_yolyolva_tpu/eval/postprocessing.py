@@ -66,8 +66,19 @@ def postprocess_results(
         by_vid[v].append(i)
 
     new = {"video-id": [], "t-start": [], "t-end": [], "label": [], "score": []}
+    missing = [v for v in vids if v not in cls_scores]
+    if missing:
+        # the reference CRASHES here (postprocessing.py:123 KeyError);
+        # keeping the unfused detections is strictly more useful — but say
+        # so, a silently partial score file deflates mAP invisibly
+        print(f"[postprocess] WARNING: {len(missing)} video(s) missing from "
+              f"{cls_score_file}; their detections pass through unfused")
     for vid in vids:
         if vid not in cls_scores:
+            for i in by_vid[vid]:
+                new["video-id"].append(vid)
+                for key in ("t-start", "t-end", "label", "score"):
+                    new[key].append(results[key][i])
             continue
         scores = np.asarray(cls_scores[vid]).reshape(-1)
         # reference tie-break form: ascending argsort, reversed

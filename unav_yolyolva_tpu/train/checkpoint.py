@@ -41,6 +41,7 @@ def save_checkpoint(
     folder: str,
     is_best: bool = False,
     file_name: str = "checkpoint",
+    extra_meta: dict = None,
 ):
     """Write `<folder>/<name>/` with params/ema/opt msgpack blobs.
 
@@ -74,6 +75,8 @@ def save_checkpoint(
         "loss_normalizer": float(jax.device_get(state.loss_normalizer)),
         "has_opt_state": not is_best,
     }
+    if extra_meta:
+        meta.update(extra_meta)
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -152,7 +155,7 @@ def load_checkpoint(
         loss_normalizer=jnp.asarray(meta["loss_normalizer"], jnp.float32),
         step=jnp.asarray(meta["step"], jnp.int32),
     )
-    return {"state": state, "epoch": meta["epoch"]}
+    return {"state": state, "epoch": meta["epoch"], "meta": meta}
 
 
 def find_latest_checkpoint(folder: str) -> Optional[str]:
