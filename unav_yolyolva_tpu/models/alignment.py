@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.losses import focal_loss_score
-from .blocks import torch_conv_kernel_init, trunc_normal_init, xavier_normal_init
+from .blocks import torch_conv_kernel_init, trunc_normal_init
 
 Array = jnp.ndarray
 
@@ -59,8 +59,9 @@ class AlignmentMHA(nn.Module):
     traffic of the fused (Nv+Nt)^2 form, no (B, N, N) mask tensor at all,
     and softmax over exactly the same logit set (same values).
 
-    Xavier-normal init on q/k/v/out; param names q/k/v/m keep checkpoint
-    compatibility.
+    trunc_normal(0.02) init on q/k/v/out (see the inline note — the
+    reference's final _init_weights pass overrides the MHA's own xavier);
+    param names q/k/v/m keep checkpoint compatibility.
     """
 
     dims: int
@@ -77,8 +78,13 @@ class AlignmentMHA(nn.Module):
     ) -> Array:
         head_dim = self.dims // self.heads
         scale = 1.0 / math.sqrt(head_dim)
+        # NOT xavier: MultiHeadAttention.reset_parameters sets xavier, but
+        # Alignment.__init__ ends with self.apply(_init_weights)
+        # (backbones.py:1053-1059) which re-initializes EVERY nn.Linear —
+        # q/k/v/m included — with trunc_normal(std=.02) + zero bias; only
+        # that final init survives in the reference
         dense = dict(
-            kernel_init=xavier_normal_init, bias_init=nn.initializers.zeros,
+            kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )
         b, n, _ = fused.shape

@@ -51,14 +51,13 @@ def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
 
 
 def trunc_normal_init(stddev: float = 0.02) -> Callable:
-    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
-
-
-def xavier_normal_init(key, shape, dtype=jnp.float32):
-    """Torch nn.init.xavier_normal_ for a Dense kernel (in, out)."""
-    fan_in, fan_out = shape[0], shape[-1]
-    std = math.sqrt(2.0 / (fan_in + fan_out))
-    return jax.random.normal(key, shape, dtype) * std
+    """torch nn.init.trunc_normal_(std=stddev): its a=-2, b=2 bounds are
+    ABSOLUTE values (±100σ at std 0.02 — effectively untruncated), while
+    flax's lower/upper are in units of stddev; convert accordingly.
+    Truncating at ±2σ instead would shrink the effective std ~12%."""
+    return nn.initializers.truncated_normal(
+        stddev=stddev, lower=-2.0 / stddev, upper=2.0 / stddev
+    )
 
 
 class MaskedConv1D(nn.Module):

@@ -32,9 +32,7 @@ class StepTimer:
 
     Usage:
         timer = StepTimer()
-        with timer.measure(result):
-            ...
-    or  dt = timer.time_fn(lambda: step(...))  # blocks on the output
+        dt = timer.time_fn(lambda: step(...))  # blocks on the output
     """
 
     def __init__(self):
