@@ -359,3 +359,30 @@ def test_decode_approx_topk_wiring():
         return r[np.lexsort(r.T)]
 
     np.testing.assert_allclose(rows(approx), rows(exact), rtol=1e-6)
+
+
+def test_merged_scan_low_initial_score_cross_class():
+    """A class's top candidate with initial score < min_score must still be
+    emitted (the reference C++ per-class scan emits the class max
+    unconditionally; only DECAYED candidates are threshold-checked, and
+    another class's emission never touches it). The merged class-masked
+    kernel used to kill such lanes after the FIRST emission of any class."""
+    import jax
+    from unav_yolyolva_tpu.ops.nms import batched_nms
+
+    segs = jnp.asarray([[0.0, 10.0], [50.0, 60.0]])
+    scores = jnp.asarray([0.9, 0.0005])
+    cls = jnp.asarray([0, 1], dtype=jnp.int32)
+    valid = jnp.ones((2,), bool)
+    kw = dict(num_classes=2, iou_threshold=0.7, min_score=0.001,
+              max_seg_num=4, use_soft_nms=True, multiclass=True,
+              sigma=0.4, voting_thresh=0.0)
+    ref = batched_nms(segs, scores, cls, valid, backend="xla", **kw)
+    pal = batched_nms(segs, scores, cls, valid, backend="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(ref[3]), [True, True, False,
+                                                       False])
+    np.testing.assert_array_equal(np.asarray(pal[3]), np.asarray(ref[3]))
+    ok = np.asarray(ref[3])
+    for a, b in zip(ref[:3], pal[:3]):   # padding rows differ by design
+        np.testing.assert_allclose(np.asarray(b)[ok], np.asarray(a)[ok],
+                                   rtol=1e-6, atol=1e-6)

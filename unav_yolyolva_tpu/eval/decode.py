@@ -148,7 +148,9 @@ def postprocess_batch(
     assert method in ("soft", "hard", "none"), method
 
     if method != "none":
-        use_pallas = jax.default_backend() != "cpu"
+        from ..ops.pallas_fusion import is_tpu_backend
+
+        use_pallas = is_tpu_backend()
         if method == "soft" and test_cfg["multiclass_nms"] and use_pallas:
             # whole-batch merged class-masked pallas scan: videos ride the
             # kernel row axis directly (see ops/nms.py:multiclass_nms_batch)

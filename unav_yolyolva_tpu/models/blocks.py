@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import masked_conv1d_out_mask
+from ..ops.pallas_fusion import is_tpu_backend
 
 Array = jnp.ndarray
 
@@ -205,7 +206,7 @@ class MaskedMHCA(nn.Module):
             # the weight prologue
             and x1.shape[1] >= 112
             and x1.shape[-1] % 128 == 0
-            and jax.default_backend() != "cpu"
+            and is_tpu_backend()
         )
         fused_ok = (
             FUSED_MHCA != "never"
@@ -313,7 +314,7 @@ class MaskedMHCA(nn.Module):
         out = kernel(
             x1.astype(dtype), x2.astype(dtype), mask,
             dw, lnw, lnb, dwt, dbs, heads=self.n_head,
-            interpret=jax.default_backend() == "cpu",
+            interpret=not is_tpu_backend(),
         )
         return out, mask
 

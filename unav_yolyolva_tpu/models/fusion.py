@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import adaptive_avg_pool1d
+from ..ops.pallas_fusion import is_tpu_backend
 from .blocks import (
     ChannelLayerNorm,
     MaskedConv1D,
@@ -137,7 +138,7 @@ class MaxSigmoidCSPLayer(nn.Module):
             # declaration slices — any other geometry takes the XLA path
             and self.num_blocks == 3
             and self.in_channels >= 2 * mid
-            and (jax.default_backend() != "cpu" or FUSED_MHCA == "always")
+            and (is_tpu_backend() or FUSED_MHCA == "always")
         )
         if fused_ok:
             return self._fused(x, guide, mask, mid, train)
@@ -210,7 +211,7 @@ class MaxSigmoidCSPLayer(nn.Module):
             *pack_csp_params(p),
             attn_heads=self.num_heads,
             train=train,
-            interpret=jax.default_backend() == "cpu",
+            interpret=not is_tpu_backend(),
         )
         return out, mask
 

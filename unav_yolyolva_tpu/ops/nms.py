@@ -41,6 +41,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .pallas_fusion import is_tpu_backend
+
 Array = jnp.ndarray
 
 # loop-unroll factor for the select-and-decay scan: on the axon TPU runtime
@@ -231,11 +233,10 @@ def group_by_class(
     return buf_segs, buf_scores, buf_idx
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_seg_num", "iou_threshold", "sigma", "min_score",
-                     "method"),
-)
+# NOT module-level jitted: this reads the mutable SHARD_MESH registry at
+# trace time (shard_over_batch), and a pjit cache keyed only on avals
+# would reuse a stale no-mesh/old-mesh trace after set_fused_mesh()
+# changes. Callers (the jitted eval step, jitted tools) trace it fresh.
 def multiclass_nms_batch(
     segs: Array,      # (B, N, 2)
     scores: Array,    # (B, N)
@@ -268,7 +269,7 @@ def multiclass_nms_batch(
             iou_threshold=iou_threshold, sigma=sigma,
             min_score=min_score, method=method,
             # forced-pallas on CPU (tests) runs the interpreter
-            interpret=jax.default_backend() == "cpu",
+            interpret=not is_tpu_backend(),
         )
 
     # GSPMD cannot auto-partition a Mosaic kernel: inside a >1-device
@@ -352,7 +353,7 @@ def batched_nms(
 
     n = segs.shape[0]
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+        backend = "pallas" if is_tpu_backend() else "xla"
     if multiclass:
         if backend == "pallas" and use_soft_nms:
             s, sc, ci, ok = multiclass_nms_batch(

@@ -40,6 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
+def is_tpu_backend() -> bool:
+    """True when the default backend can lower Mosaic kernels: real TPU or
+    the axon TPU tunnel. NOT simply `!= "cpu"` — a GPU backend would crash
+    trying to lower pltpu.VMEM BlockSpecs."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _mhca_compute(x1, x2, mm, dw, lnw, lnb, dwt, dbs, *, heads: int,
                   eps: float):
     """Value-level MaskedMHCA block: dwconv -> channel-LN -> q/k/v dense ->

@@ -168,10 +168,15 @@ def _kernel_classmasked(x1_ref, x2_ref, scores_ref, cls_ref, out_idx_ref,
         else:
             w = jnp.exp(-(iou * iou) / sigma)
         # cross-class pairs don't suppress each other
-        w = jnp.where(cls.astype(jnp.float32) == scls, w, 1.0)
+        same = cls.astype(jnp.float32) == scls
+        w = jnp.where(same, w, 1.0)
 
         s_new = s * w
-        kill = (s_new < min_score) | (idx == j) | (s == NEG_INF)
+        # the min_score re-check applies ONLY to the emitted class's lanes
+        # (the C++ per-class scan thresholds candidates after THEIR class's
+        # decay; another class's emission must not remove a low-initial-
+        # score candidate it never touched)
+        kill = (same & (s_new < min_score)) | (idx == j) | (s == NEG_INF)
         s_new = jnp.where(kill, NEG_INF, s_new)
         s_ref[:, :] = jnp.where(any_alive, s_new, s)
         return k + 1, jnp.max(s_new) > NEG_INF

@@ -168,6 +168,7 @@ def valid_one_epoch(
     batch_time = AverageMeter()
     start = time.time()
     losses = {}
+    loss_samples = []   # tiny device scalars; fetched once at epoch end
 
     def harvest(video_ids, dets):
         dets = jax.device_get(dets)  # fast: copy already started async
@@ -201,6 +202,8 @@ def valid_one_epoch(
         db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True,
                            pad_to=pad_to)
         dets, losses = eval_step(state, db)
+        if losses:
+            loss_samples.append(losses)
         for leaf in jax.tree.leaves(dets):
             try:
                 leaf.copy_to_host_async()
@@ -241,6 +244,15 @@ def valid_one_epoch(
                 pickle.dump(results, f)
         mAP = 0.0
 
+    if loss_samples:
+        # epoch-AVERAGED val losses (fetched once — per-batch device_get
+        # would fence the pipelined dispatch), not the final batch's,
+        # which is the zero-padded partial one and the most diluted
+        fetched = jax.device_get(loss_samples)
+        losses = {
+            k: float(np.mean([d[k] for d in fetched]))
+            for k in fetched[0]
+        }
     if tb_writer is not None:
         tb_writer.add_scalar("validation/mAP", mAP, epoch)
     return mAP, losses

@@ -58,6 +58,21 @@ def _model_inputs(batch, m_scores, m_start_end, m_labels):
     }
 
 
+def _loss_kwargs(cfg: Dict) -> Dict:
+    """Shared between the train and eval step builders so the two can
+    never drift to differently-weighted losses."""
+    mcfg = cfg["model"]
+    return dict(
+        class_aware=mcfg["class_aware"],
+        loss_weight=cfg["train_cfg"]["loss_weight"],
+        inter_weight=mcfg["inter_contr_weight"],
+        intra_weight=mcfg["intra_contr_weight"],
+        score_v_weight=mcfg["score_V_weight"],
+        score_a_weight=mcfg["score_A_weight"],
+        label_smoothing=cfg["train_cfg"]["label_smoothing"],
+    )
+
+
 def make_train_step(
     model,
     tx,
@@ -76,15 +91,7 @@ def make_train_step(
     scale = mcfg["scale_factor"]
     points_cat = jnp.asarray(concat_points(generate_points(seq_len, reg_range, scale)))
 
-    loss_kwargs = dict(
-        class_aware=class_aware,
-        loss_weight=cfg["train_cfg"]["loss_weight"],
-        inter_weight=mcfg["inter_contr_weight"],
-        intra_weight=mcfg["intra_contr_weight"],
-        score_v_weight=mcfg["score_V_weight"],
-        score_a_weight=mcfg["score_A_weight"],
-        label_smoothing=cfg["train_cfg"]["label_smoothing"],
-    )
+    loss_kwargs = _loss_kwargs(cfg)
 
     def step(state: TrainState, batch: Dict, rng) -> tuple:
         m_scores, m_start_end, m_labels, gt_cls, gt_reg = build_targets(
@@ -156,15 +163,7 @@ def make_eval_step(
     scale = mcfg["scale_factor"]
     test_cfg = cfg["test_cfg"]
 
-    loss_kwargs = dict(
-        class_aware=class_aware,
-        loss_weight=cfg["train_cfg"]["loss_weight"],
-        inter_weight=mcfg["inter_contr_weight"],
-        intra_weight=mcfg["intra_contr_weight"],
-        score_v_weight=mcfg["score_V_weight"],
-        score_a_weight=mcfg["score_A_weight"],
-        label_smoothing=cfg["train_cfg"]["label_smoothing"],
-    )
+    loss_kwargs = _loss_kwargs(cfg)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
