@@ -89,12 +89,17 @@ def main():
     # multi-host EVAL: global batches on every process, padded + locally
     # sliced by _device_batch, detections replicated for the harvest; the
     # final 2-video batch exercises the pad path
+    from tests.test_multihost import eval_cfg
     from unav_yolyolva_tpu.eval.metrics import ANETdetection
 
-    val_ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
-    val_batcher = make_batcher(val_ds, cfg, False)
-    eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
-    eval_step = precompile_eval_step(eval_step, state, cfg, mesh)
+    # eval batch 12: full batches pad 12->16 and the final 2-video batch
+    # pads 2->16 — the SAME AOT-compiled shape, proving the fixed-shape
+    # contract across processes
+    ecfg = eval_cfg(root)
+    val_ds = UnAV100Dataset(False, ("validation",), **ecfg["dataset"])
+    val_batcher = make_batcher(val_ds, ecfg, False)
+    eval_step = make_eval_step(model, ecfg, mesh=mesh, use_ema=True)
+    eval_step = precompile_eval_step(eval_step, state, ecfg, mesh)
     import numpy as np
 
     evaluator = ANETdetection(

@@ -59,6 +59,15 @@ def shared_cfg(root: str):
     })
 
 
+def eval_cfg(root: str):
+    """Eval-phase config: batch 12 over the 8-device mesh, so full batches
+    pad 12->16 and the partial final batch pads 2->16 (same compiled
+    shape)."""
+    cfg = shared_cfg(root)
+    cfg["loader"]["batch_size"] = 12
+    return cfg
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -72,8 +81,13 @@ def synth_root(tmp_path_factory):
     from unav_yolyolva_tpu.data import synthetic
 
     root = tmp_path_factory.mktemp("mh")
+    # 28 videos -> 14 train (one full global train batch) / 14 val: with
+    # the eval batch of 12 the val epoch is one full batch + a 2-video
+    # PARTIAL batch, which must be padded to the AOT-compiled b_star=16
+    # (not the next mesh multiple, 8) — the regression the round-3 review
+    # found
     synthetic.make_synthetic_dataset(
-        str(root), num_videos=20, num_classes=5, min_len=40, max_len=T,
+        str(root), num_videos=28, num_classes=5, min_len=40, max_len=T,
         visual_dim=64, audio_dim=16, seed=5, events_per_video=2,
     )
     return str(root)
@@ -146,9 +160,10 @@ def single_process_baseline(synth_root):
         state, batcher, train_step, rng, 0, mesh=mesh, print_freq=1000,
         schedule=schedule,
     )
-    val_ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
-    val_batcher = make_batcher(val_ds, cfg, False)
-    eval_step = make_eval_step(model, cfg, mesh=mesh, use_ema=True)
+    ecfg = eval_cfg(synth_root)
+    val_ds = UnAV100Dataset(False, ("validation",), **ecfg["dataset"])
+    val_batcher = make_batcher(val_ds, ecfg, False)
+    eval_step = make_eval_step(model, ecfg, mesh=mesh, use_ema=True)
     evaluator = ANETdetection(
         cfg["dataset"]["json_file"], "validation",
         tiou_thresholds=np.linspace(0.1, 0.9, 9), num_workers=1,
