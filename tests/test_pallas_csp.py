@@ -242,3 +242,26 @@ def test_fused_csp_bf16_close():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_pick_rows_vmem_budget_flagship():
+    """Regression: the row-picker's VMEM model must include the guide's
+    FULL token width (Fg=224, independent of the level's T) and the
+    projected guide. The old model counted the guide as Ng*T and picked
+    R=64 at the t=8 level of the 2B=128 eval fusion pass -> 164 MB of
+    scoped VMEM on a 128 MB chip (on-device Mosaic OOM; the driver bench
+    silently fell back to the XLA path). Pins R at the flagship shapes
+    so the estimate never exceeds the kernel's compiler limit."""
+    from unav_yolyolva_tpu.ops.pallas_csp import (
+        CSP_VMEM_LIMIT, _pick_rows_csp,
+    )
+
+    for b in (16, 128, 256):
+        for t in (8, 16, 28, 56, 112, 224):
+            r = _pick_rows_csp(b, t, 1024, 256, 512, 224, 256, 512, 4)
+            assert b % r == 0
+            windows = 2 * (t * 1024 + 512 * 224 + t + t * 512) * 4
+            live = (512 * 256 + 12 * t * 256) * 4 + (4 * t * t + t * 512) * 4
+            assert r * (windows + 2 * live) <= CSP_VMEM_LIMIT
+    # the t=8, b=128 case that OOM'd must now choose a small block
+    assert _pick_rows_csp(128, 8, 1024, 256, 512, 224, 256, 512, 4) <= 32

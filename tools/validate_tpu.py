@@ -10,6 +10,20 @@ asserts detections and losses agree.
 
 Run whenever kernels change:  python tools/validate_tpu.py [--batch 8]
 Exit code 0 = gate passed.
+
+The gate runs under jax.default_matmul_precision("highest") (override
+with --precision). Detection rows are DISCONTINUOUS in the scores: an
+untrained model's score spread (~4e-3) is the same magnitude as the
+TPU's default bf16-pass matmul noise (~1.5e-2 absolute on the logits,
+measured at B=64), so under default precision Soft-NMS selection order
+— and therefore the row-wise comparison — is essentially random between
+two numerically-equivalent programs (29% label mismatch observed while
+every LOSS agreed to <1e-4). True-fp32 multiplies shrink the
+path-to-path noise ~4 orders of magnitude below the score spread, making
+the elementwise detection assertion meaningful. The losses are smooth
+aggregates and gate fine at either precision. The precision context
+applies inside the Pallas kernels too (their jnp.dot calls are traced
+under the same flag).
 """
 
 from __future__ import annotations
@@ -81,9 +95,16 @@ def _set_knobs(on: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--precision", default="highest",
+                    choices=["default", "high", "highest"],
+                    help="matmul precision for BOTH paths (see module "
+                    "docstring for why 'highest' is the gate default)")
     args = ap.parse_args()
 
     import jax
+
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

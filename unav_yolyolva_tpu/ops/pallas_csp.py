@@ -141,18 +141,31 @@ def _csp_kernel(x_ref, g_ref, m_ref, wmain_ref, bmain_ref, DW_ref, LNW_ref,
     )
 
 
-def _pick_rows_csp(b: int, t: int, cin: int, mid: int, ng: int,
-                   itemsize: int) -> int:
+def _pick_rows_csp(b: int, t: int, cin: int, mid: int, ng: int, fg: int,
+                   emb: int, cout: int, itemsize: int) -> int:
     """Largest batch block R (divisor of b) within a conservative VMEM
-    budget: x + guide + ~10 mid-wide activations + the MHCA attention
-    matrices + the per-head (R, T, Ng) guide scores, with the measured 2x
-    Mosaic-stack factor (see pallas_fusion._pick_rows_bwd)."""
-    budget = 40 * 1024 * 1024
+    budget.
+
+    Per-row components (all x R):
+      * pipeline windows, DOUBLE-buffered: x in (t*cin), guide in (ng*fg —
+        the guide token width fg is the train seq len 224, NOT this
+        level's t: at the t=8 pyramid level the guide is 28x larger than
+        t*ng), mask, out (t*cout);
+      * kernel liveness: the projected guide gp (ng*emb), ~12 mid-wide
+        activations, the fp32 MHCA attention matrices (t*t), and the
+        fp32 per-head guide scores (t*ng);
+    with the measured ~2x Mosaic-stack factor on the liveness part (see
+    pallas_fusion._pick_rows_bwd). The old model counted the guide as
+    ng*t and picked R=64 at the t=8 level of the 2B=128 eval pass —
+    164 MB of scoped VMEM on a 128 MB chip (driver bench fallback).
+    """
+    budget = 72 * 1024 * 1024
+    windows = 2 * (t * cin + ng * fg + t + t * cout) * itemsize
+    live = (ng * emb + 12 * t * mid) * itemsize + (4 * t * t + t * ng) * 4
+    per_row = windows + 2 * live
     r = b
     while r > 1:
-        act = (t * cin + ng * t + 12 * t * mid) * itemsize * r
-        att = (4 * t * t + t * ng) * 4 * r
-        if 2 * (act + att) <= budget and b % r == 0:
+        if r * per_row <= budget and b % r == 0:
             return r
         r //= 2
     return 1
@@ -163,7 +176,9 @@ def _csp_fwd_call(x, g, m, *weights, attn_heads, mhca_heads, eps,
     b, t, cin = x.shape
     mid = weights[6].shape[-1]          # DBS (3, 4, mid)
     cout = weights[12].shape[-1]        # wfinal (6mid, cout)
-    r = _pick_rows_csp(b, t, cin, mid, g.shape[1], x.dtype.itemsize)
+    emb = weights[7].shape[-1]          # wg (Fg, emb)
+    r = _pick_rows_csp(b, t, cin, mid, g.shape[1], g.shape[2], emb, cout,
+                       x.dtype.itemsize)
     grid = (b // r,)
 
     def row_spec(c):
