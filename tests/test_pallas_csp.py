@@ -265,3 +265,28 @@ def test_pick_rows_vmem_budget_flagship():
             assert r * (windows + 2 * live) <= CSP_VMEM_LIMIT
     # the t=8, b=128 case that OOM'd must now choose a small block
     assert _pick_rows_csp(128, 8, 1024, 256, 512, 224, 256, 512, 4) <= 32
+
+
+def test_pick_rows_vmem_budget_bf16_accumulators():
+    """Regression: under bf16 the fp32 accumulator of the largest dot
+    (preferred_element_type=f32) lives alongside its bf16 copy. A model
+    that counted liveness at itemsize=2 picked R=64 for the 2B=128, t=8
+    bf16 TRAIN pass and Mosaic measured 119.6 MB of scoped stack against
+    the 107 MB limit (bottom_up_4 VMEM OOM on real v5e). The bf16 pick at
+    that shape must now be <= 32, and every bf16 pick must satisfy the
+    accumulator-aware budget — while fp32 picks (on-chip proven) must be
+    unchanged by the added (4 - itemsize)-scaled term."""
+    from unav_yolyolva_tpu.ops.pallas_csp import (
+        CSP_VMEM_LIMIT, _pick_rows_csp,
+    )
+
+    assert _pick_rows_csp(128, 8, 1024, 256, 512, 224, 256, 512, 2) <= 32
+    for b in (16, 128, 256):
+        for t in (8, 16, 28, 56, 112, 224):
+            r = _pick_rows_csp(b, t, 1024, 256, 512, 224, 256, 512, 2)
+            assert b % r == 0
+            windows = 2 * (t * 1024 + 512 * 224 + t + t * 512) * 2
+            acc32 = max(512 * 256, 2 * t * 256, 6 * t * 256, t * 512) * 2
+            live = ((512 * 256 + 12 * t * 256) * 2 + acc32
+                    + (4 * t * t + t * 512) * 4)
+            assert r * (windows + 2 * live) <= CSP_VMEM_LIMIT

@@ -157,5 +157,29 @@ def main():
             json.dump(record, f, indent=1)
 
 
+def _fallback_reexec(e):
+    """Same resilience chain as bench.py: a Mosaic kernel that fails to
+    compile on this chip must not take the train bench down with it —
+    re-exec with the newest kernel disabled first (UNAV_FUSED_CSP=never),
+    then with all fused kernels off (UNAV_FUSED_MHCA=never)."""
+    stderr = sys.stderr
+    if os.environ.get("UNAV_FUSED_CSP") != "never":
+        step = {"UNAV_FUSED_CSP": "never"}
+    elif os.environ.get("UNAV_FUSED_MHCA") != "never":
+        step = {"UNAV_FUSED_MHCA": "never"}
+    else:
+        return False
+    print(f"# bench_train failed ({type(e).__name__}: {e}); "
+          f"retrying with {step}", file=stderr)
+    env = dict(os.environ, **step)
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+              env)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        if _fallback_reexec(e) is False:
+            raise

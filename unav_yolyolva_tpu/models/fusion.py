@@ -116,13 +116,21 @@ class MaxSigmoidCSPLayer(nn.Module):
 
         # Fused Pallas path (ops/pallas_csp.py): the WHOLE layer — main
         # conv, 3 chained MHCAs, max-sigmoid guide attention, k=3 proj
-        # conv, final conv — as one VMEM-resident kernel. Train runs the
-        # fused forward with a custom VJP routed through the fused MHCA
-        # kernels. Gated to TPU and to the flagship geometry (embed ==
-        # mid: no embed conv); the T=7/14/28 levels are padded inside the
-        # wrapper. UNAV_FUSED_CSP=never falls back to the XLA composition
-        # (which still uses the per-block fused MHCA kernels) without
-        # touching the MHCA knob.
+        # conv, final conv — as one VMEM-resident kernel. Gated to TPU
+        # and to the flagship geometry (embed == mid: no embed conv);
+        # the T=7/14/28 levels are padded inside the wrapper.
+        #
+        # Default: EVAL ONLY. Same-window A/B on v5e (tools/
+        # bench_round3.sh): eval step +25% (1628 vs 1304 videos/s fp32),
+        # but the TRAIN step is ~2% slower with the kernel (fp32 515 vs
+        # 523, bf16 635 vs 647 clips/s) — the custom VJP re-runs the
+        # layer's XLA glue once more in the backward than plain AD of
+        # the composition does, and the backward dominates the step.
+        # UNAV_FUSED_CSP=always forces the kernel in train too (the
+        # custom-VJP path stays tested via the FUSED_MHCA="always" CPU
+        # override); =never falls back to the XLA composition (which
+        # still uses the per-block fused MHCA kernels) without touching
+        # the MHCA knob.
         import os
 
         from .blocks import FUSED_MHCA
@@ -131,6 +139,8 @@ class MaxSigmoidCSPLayer(nn.Module):
         fused_ok = (
             FUSED_MHCA != "never"
             and fused_csp != "never"
+            and (not train or fused_csp == "always"
+                 or FUSED_MHCA == "always")
             and self.embed_channels == mid
             and mid % 128 == 0
             # the kernel hardcodes the flagship structure: exactly 3 MHCA

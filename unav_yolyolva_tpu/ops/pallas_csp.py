@@ -154,14 +154,23 @@ def _pick_rows_csp(b: int, t: int, cin: int, mid: int, ng: int, fg: int,
       * kernel liveness: the projected guide gp (ng*emb), ~12 mid-wide
         activations, the fp32 MHCA attention matrices (t*t), and the
         fp32 per-head guide scores (t*ng);
+      * under bf16, the fp32 accumulator of the largest dot
+        (preferred_element_type=f32) lives alongside its bf16 copy —
+        counted via the (4 - itemsize) term. A liveness model that
+        missed it picked R=64 for the 2B=128, t=8, bf16 TRAIN pass and
+        Mosaic measured 119.6 MB of scoped stack against the 107 MB
+        limit (bottom_up_4 VMEM OOM on v5e); fp32 picks are unchanged
+        by the term, preserving every on-chip-proven fp32 block size;
     with the measured ~2x Mosaic-stack factor on the liveness part (see
-    pallas_fusion._pick_rows_bwd). The old model counted the guide as
-    ng*t and picked R=64 at the t=8 level of the 2B=128 eval pass —
+    pallas_fusion._pick_rows_bwd). An even older model counted the guide
+    as ng*t and picked R=64 at the t=8 level of the 2B=128 eval pass —
     164 MB of scoped VMEM on a 128 MB chip (driver bench fallback).
     """
     budget = 72 * 1024 * 1024
     windows = 2 * (t * cin + ng * fg + t + t * cout) * itemsize
-    live = (ng * emb + 12 * t * mid) * itemsize + (4 * t * t + t * ng) * 4
+    acc32 = max(ng * emb, 2 * t * mid, 6 * t * mid, t * cout) * (4 - itemsize)
+    live = ((ng * emb + 12 * t * mid) * itemsize + acc32
+            + (4 * t * t + t * ng) * 4)
     per_row = windows + 2 * live
     r = b
     while r > 1:
