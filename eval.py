@@ -76,7 +76,8 @@ def main(args):
             f"test_split {cfg['test_split']} matched no videos in "
             f"{cfg['dataset']['json_file']} — check the 'subset' fields."
         )
-    val_batcher = make_batcher(val_dataset, cfg, False)
+    # mesh passed so multi-host eval loads only this process's rows
+    val_batcher = make_batcher(val_dataset, cfg, False, mesh=mesh)
 
     model = build_model(cfg)
     import jax.numpy as jnp

@@ -97,7 +97,10 @@ def main():
     # contract across processes
     ecfg = eval_cfg(root)
     val_ds = UnAV100Dataset(False, ("validation",), **ecfg["dataset"])
-    val_batcher = make_batcher(val_ds, ecfg, False)
+    # mesh passed => per-process eval IO: this process loads only its own
+    # row block of every padded batch (round-4: de-duplicated eval IO)
+    val_batcher = make_batcher(val_ds, ecfg, False, mesh=mesh)
+    assert val_batcher.rows_local, "2-proc eval must take the local-IO path"
     eval_step = make_eval_step(model, ecfg, mesh=mesh, use_ema=True)
     eval_step = precompile_eval_step(eval_step, state, ecfg, mesh)
     import numpy as np

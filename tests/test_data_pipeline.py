@@ -168,3 +168,71 @@ def test_batcher_producer_exception_propagates(synth):
             list(b)
     finally:
         ds.load_item = orig
+
+
+def test_batcher_eval_local_rows(synth):
+    """Multi-host eval IO dedup: with pad_to set, each (simulated) process
+    loads ONLY its contiguous block of the padded global batch, yields
+    local arrays + the full global video_id list, and the blocks
+    reassemble exactly the global collate. The short final batch must
+    produce a zeroed template row for a process whose block is all
+    padding."""
+    from unav_yolyolva_tpu.data.pipeline import Batcher
+
+    cfg = make_cfg(synth)  # validation split has 3 videos
+    ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
+
+    # global reference batches (single process)
+    ref = list(Batcher(ds, 2, shuffle=False, drop_last=False, seed=0,
+                       num_threads=1))
+    assert len(ref) == 2 and ref[1]["visual"].shape[0] == 1
+
+    loads = {0: [], 1: []}
+    orig = UnAV100Dataset.load_item
+
+    def make_counting(pid):
+        def counting(self, j, rng=None):
+            loads[pid].append(j)
+            return orig(self, j, rng)
+        return counting
+
+    locals_ = {}
+    for pid in (0, 1):
+        UnAV100Dataset.load_item = make_counting(pid)
+        try:
+            b = Batcher(ds, 2, shuffle=False, drop_last=False, seed=0,
+                        num_threads=1, process_index=pid, process_count=2,
+                        pad_to=2)
+            assert b.rows_local
+            locals_[pid] = list(b)
+        finally:
+            UnAV100Dataset.load_item = orig
+
+    for pid in (0, 1):
+        assert len(locals_[pid]) == 2
+        for gb, lb_ in zip(ref, locals_[pid]):
+            # full global video ids for the replicated-dets harvest
+            assert lb_["video_id"] == gb["video_id"]
+            assert lb_["visual"].shape[0] == 1  # local block = pad_to/2
+
+    # first (full) batch: blocks tile the global batch exactly
+    for k in ("visual", "audio", "mask", "gt_segments", "fps"):
+        glob = np.concatenate(
+            [locals_[0][0][k], locals_[1][0][k]], axis=0
+        )
+        np.testing.assert_array_equal(glob, ref[0][k])
+
+    # final 1-video batch: process 0 holds the real row, process 1's block
+    # is all padding -> zeroed row (mask all-False, never harvested)
+    np.testing.assert_array_equal(locals_[0][1]["visual"],
+                                  ref[1]["visual"])
+    assert not locals_[1][1]["mask"].any()
+    assert locals_[1][1]["visual"].shape == locals_[0][1]["visual"].shape
+
+    # the point of the change: each process read ~half the files —
+    # process 1 reads its two block rows plus ONE template row for the
+    # empty final block
+    assert sorted(set(loads[0])) == sorted(set(loads[0]))
+    n_videos = len(ds)
+    assert len(loads[0]) == 2                  # rows 0 and (final) 2
+    assert len(loads[1]) <= 2                  # row 1 + template row

@@ -114,7 +114,8 @@ def main(args):
     det_eval, val_batcher = None, None
     if cfg["train_cfg"]["evaluate"]:
         val_dataset = UnAV100Dataset(False, cfg["val_split"], **cfg["dataset"])
-        val_batcher = make_batcher(val_dataset, cfg, False)
+        # mesh passed so multi-host eval loads only this process's rows
+        val_batcher = make_batcher(val_dataset, cfg, False, mesh=mesh)
         det_eval = ANETdetection(
             val_dataset.json_file,
             val_dataset.split[0],

@@ -124,22 +124,42 @@ class Batcher:
         prefetch: int = 4,
         process_index: int = 0,
         process_count: int = 1,
+        pad_to: int = 0,
     ):
         """`batch_size` is the GLOBAL batch. With process_count > 1
         (multi-host DP), every process forms the same deterministic global
         batch order (shared seed/epoch) but loads and collates ONLY its own
         contiguous row block [pid*local_b, (pid+1)*local_b) — the layout
         parallel.mesh.shard_batch assembles into the global jax.Array.
-        Per-process slicing requires drop_last (all batches full); the
-        non-drop_last (eval) path keeps global batches, sliced downstream.
+        Per-process slicing requires drop_last (all batches full).
+
+        The non-drop_last (eval) path slices per process too when `pad_to`
+        (the FIXED padded global batch size, ceil(batch/n_dev)*n_dev) is
+        given: each process loads only the rows of ITS block of the padded
+        batch — ~1/N of the npy reads instead of every process loading the
+        full global batch — and yields local arrays plus the full global
+        `video_id` list (the detections come back replicated, so every
+        process harvests all rows). Without `pad_to` eval keeps global
+        batches, sliced downstream (single-process, and any caller that
+        cannot know the mesh).
         """
         self.dataset = dataset
         self.batch_size = batch_size
         self.process_index = process_index
         self.process_count = process_count
+        self.pad_to = pad_to
         if process_count > 1 and drop_last:
             assert batch_size % process_count == 0, (
                 f"global batch {batch_size} must divide over "
+                f"{process_count} processes"
+            )
+        # eval-side per-process IO slicing (multi-host only)
+        self.rows_local = (
+            process_count > 1 and not drop_last and pad_to > 0
+        )
+        if self.rows_local:
+            assert pad_to % process_count == 0, (
+                f"padded eval batch {pad_to} must divide over "
                 f"{process_count} processes"
             )
         self.max_num_events = max_num_events
@@ -201,15 +221,47 @@ class Batcher:
                 for bi in range(thread_id, len(batches), self.num_threads):
                     if stop.is_set():
                         return
-                    items = [
-                        self.dataset.load_item(j, rng) for j in batches[bi]
-                    ]
-                    batch = collate(
-                        items,
-                        max_seq_len=self.dataset.max_seq_len,
-                        max_num_events=self.max_num_events,
-                        training=self.dataset.is_training,
-                    )
+                    idxs = batches[bi]
+                    load_idxs = idxs
+                    if self.rows_local:
+                        lb = self.pad_to // self.process_count
+                        lo = self.process_index * lb
+                        load_idxs = idxs[lo : lo + lb]
+                    if load_idxs:
+                        items = [
+                            self.dataset.load_item(j, rng)
+                            for j in load_idxs
+                        ]
+                        batch = collate(
+                            items,
+                            max_seq_len=self.dataset.max_seq_len,
+                            max_num_events=self.max_num_events,
+                            training=self.dataset.is_training,
+                        )
+                    else:
+                        # this process's block of the padded batch is all
+                        # padding (a short final batch): emit one zeroed
+                        # template row — same semantics as the rows
+                        # _device_batch zero-pads (mask all-False, never
+                        # harvested); dims come from one template read
+                        tmpl = collate(
+                            [self.dataset.load_item(idxs[0], rng)],
+                            max_seq_len=self.dataset.max_seq_len,
+                            max_num_events=self.max_num_events,
+                            training=self.dataset.is_training,
+                        )
+                        batch = {
+                            k: (np.zeros_like(v)
+                                if isinstance(v, np.ndarray) else v)
+                            for k, v in tmpl.items()
+                        }
+                    if self.rows_local:
+                        # harvest needs ALL real rows' ids (detections are
+                        # replicated across processes) — metadata only, no
+                        # feature IO
+                        batch["video_id"] = [
+                            self.dataset.records[j].id for j in idxs
+                        ]
                     if not put_or_stop((bi, batch)):
                         return
             except BaseException as e:  # propagate: a silently dead
@@ -242,14 +294,21 @@ class Batcher:
                 th.join(timeout=2.0)
 
 
-def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batcher:
-    # multi-host DP: the train batcher loads only this process's rows
-    # (jax import deferred — the pipeline itself is numpy-only)
-    process_index, process_count = 0, 1
-    if is_training:
+def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0,
+                 mesh=None) -> Batcher:
+    # multi-host DP: the train batcher loads only this process's rows; the
+    # eval batcher does too when the caller passes its mesh (needed to know
+    # the fixed padded global batch size — without it eval falls back to
+    # global batches, sliced downstream). jax import deferred — the
+    # pipeline itself is numpy-only.
+    process_index, process_count, pad_to = 0, 1, 0
+    if is_training or mesh is not None:
         import jax
 
         process_index, process_count = jax.process_index(), jax.process_count()
+    if not is_training and mesh is not None and process_count > 1:
+        n_dev = mesh.devices.size
+        pad_to = -(-cfg["loader"]["batch_size"] // n_dev) * n_dev
     return Batcher(
         dataset,
         cfg["loader"]["batch_size"],
@@ -261,4 +320,5 @@ def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0) -> Batche
         prefetch=cfg["loader"].get("prefetch", 4),
         process_index=process_index,
         process_count=process_count,
+        pad_to=pad_to,
     )

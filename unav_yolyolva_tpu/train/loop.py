@@ -25,14 +25,16 @@ ARRAY_KEYS_EVAL = ARRAY_KEYS_TRAIN + (
 
 
 def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False,
-                  pad_to: int = 0) -> Dict:
+                  pad_to: int = 0, rows_local: bool = False) -> Dict:
     """Move a numpy batch onto the mesh, batch axis sharded.
 
     Single-process: the batch is global. Multi-process (multi-host DP):
-    the TRAIN batcher already yields process-local rows (pipeline.py),
-    while the EVAL batcher yields the full global batch on every process —
-    here it is padded and this process's contiguous row block is extracted
-    before shard_batch assembles the global jax.Array.
+    the TRAIN batcher already yields process-local rows (pipeline.py);
+    the EVAL batcher does too when built with its mesh (rows_local=True —
+    here the local rows are only padded up to this process's block size),
+    and otherwise yields the full global batch on every process, which is
+    padded and sliced to this process's contiguous row block before
+    shard_batch assembles the global jax.Array.
 
     `pad_to` (eval only): pad the batch axis to this FIXED global size
     rather than the next mesh multiple, so the final partial batch reuses
@@ -45,6 +47,21 @@ def _device_batch(batch: Dict, keys, mesh=None, allow_pad: bool = False,
     n_proc = jax.process_count()
     n_dev = mesh.devices.size
     b = sub["visual"].shape[0]
+
+    if rows_local and n_proc > 1:
+        # eval rows already local (Batcher pad_to path): pad the LOCAL
+        # block to its fixed size; shard_batch assembles the global array
+        lb = pad_to // n_proc
+        if b != lb:
+            assert allow_pad and b < lb
+            pad = lb - b
+            sub = {
+                k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+                for k, v in sub.items()
+            }
+        return shard_batch(sub, mesh)
 
     if n_proc > 1 and not allow_pad:
         # train path: rows are already local; local batch must divide over
@@ -197,10 +214,16 @@ def valid_one_epoch(
     if mesh is not None:
         n_dev = mesh.devices.size
         pad_to = -(-getattr(batcher, "batch_size", 0) // n_dev) * n_dev
+    rows_local = getattr(batcher, "rows_local", False)
+    if rows_local:
+        # the batcher sliced rows against ITS padded size; they must agree
+        assert batcher.pad_to == pad_to, (
+            f"batcher pad_to {batcher.pad_to} != loop pad_to {pad_to}"
+        )
     pending = None
     for it, batch in enumerate(batcher):
         db = _device_batch(batch, ARRAY_KEYS_EVAL, mesh, allow_pad=True,
-                           pad_to=pad_to)
+                           pad_to=pad_to, rows_local=rows_local)
         dets, losses = eval_step(state, db)
         if losses:
             loss_samples.append(losses)
