@@ -10,11 +10,16 @@ T=7 layer costs ~2 ms against ~3.9 ms for T=224 (tools/profile_forward.py)
 layer per batch block in VMEM; the only HBM traffic is x/guide in, out
 once, plus the weights.
 
-Train path: jax.custom_vjp whose backward is the XLA composition's vjp
-(`csp_reference` below) — gradients are therefore EXACTLY the gradients of
-the XLA path the parity suite pins, and the train step still gets the
-fused forward. (A recompute-backward kernel like the MHCA one is possible
-later; the forward is where the overhead lives.)
+Train path: jax.custom_vjp whose backward is a SECOND Pallas kernel that
+recomputes the layer per batch block and walks the chain in reverse
+(flash-attention style): the kernel body is jax.vjp of the same
+`_csp_compute` the forward kernel runs, so recompute + backward stay
+VMEM-resident and the gradients are the gradients of the XLA composition
+the parity suite pins (same graph, Mosaic numerics). Weight grads are
+accumulated across grid steps in fp32 VMEM-resident output blocks, like
+the fused MHCA backward (pallas_fusion._mhca_bwd_kernel). Set
+UNAV_CSP_BWD=xla to fall back to the round-3 backward (vjp of the XLA
+composition with only the MHCA sub-blocks kernelized).
 
 Sequence lengths that are not sublane multiples (T=7/14/28 levels) are
 zero-padded to the next multiple of 8 by the wrapper; every op in the
@@ -235,11 +240,82 @@ def _csp_diff_fwd(attn_heads, mhca_heads, interpret, x, g, m, *weights):
     return out, (x, g, m, weights)
 
 
-def _csp_diff_bwd(attn_heads, mhca_heads, interpret, res, gout):
-    """Backward = vjp of the XLA composition, with the three MHCA blocks
-    routed through the fused MHCA custom-VJP kernel pair (pallas_fusion):
-    the recompute forward and the MHCA grads run as Pallas kernels, only
-    the thin glue (main/final convs, guide attention, k=3 proj) is XLA."""
+def _csp_bwd_kernel(*refs, n_weights: int, attn_heads: int,
+                    mhca_heads: int, eps: float):
+    """Recompute-backward of the whole CSP layer for one batch block.
+
+    The body is jax.vjp of the SAME `_csp_compute` the forward kernel
+    runs: the recompute forward and the full reverse walk (final conv ->
+    guide gate -> k=3 proj -> 3 MHCA blocks -> main conv) trace into one
+    Mosaic kernel, so every residual lives in VMEM. Weight grads are
+    accumulated across grid steps in fp32 (constant index_map =>
+    revisited blocks), exactly like pallas_fusion._mhca_bwd_kernel."""
+    i = pl.program_id(0)
+    x_ref, g_ref, m_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3:3 + n_weights]
+    gout_ref = refs[3 + n_weights]
+    dx_ref, dg_ref = refs[4 + n_weights], refs[5 + n_weights]
+    gw_refs = refs[6 + n_weights:]
+
+    x = x_ref[:]
+    g = g_ref[:]
+    mm = m_ref[:].astype(x.dtype)
+    weights = [w[:] for w in w_refs]
+
+    def f(x_, g_, *ws):
+        return _csp_compute(x_, g_, mm, *ws, attn_heads=attn_heads,
+                            mhca_heads=mhca_heads, eps=eps)
+
+    _, vjp = jax.vjp(f, x, g, *weights)
+    grads = vjp(gout_ref[:])
+    dx_ref[:] = grads[0]
+    dg_ref[:] = grads[1]
+    for ref, gr in zip(gw_refs, grads[2:]):
+        gr32 = gr.astype(jnp.float32)
+
+        @pl.when(i == 0)
+        def _(ref=ref, gr32=gr32):
+            ref[:] = gr32
+
+        @pl.when(i > 0)
+        def _(ref=ref, gr32=gr32):
+            ref[:] = ref[:] + gr32
+
+
+def _pick_rows_csp_bwd(b: int, t: int, cin: int, mid: int, ng: int,
+                       fg: int, emb: int, cout: int, itemsize: int,
+                       attn_heads: int, mhca_heads: int) -> int:
+    """Largest batch block R (divisor of b) for the recompute-backward
+    kernel. Far heavier liveness than the forward: AD keeps the forward
+    residuals (6 CSP parts, per-MHCA q/k/v/LN internals, the per-head
+    fp32 attention matrices of all 3 blocks, the fp32 guide scores of
+    every gate head) alive alongside the backward temporaries. Counts
+    ~40 (t, mid) activation-sized buffers + x/dx, out-grads, guide pairs,
+    plus the fp32 (t, t) and (t, ng) matrices; the measured ~2x Mosaic
+    stack factor from pallas_fusion._pick_rows_bwd applies. Under bf16
+    the fp32 accumulators ride the 4-byte terms already."""
+    budget = 60 * 1024 * 1024
+    windows = 2 * (2 * t * cin + 2 * ng * fg + t + 2 * t * cout) * itemsize
+    live = ((40 * t * mid + 2 * ng * emb + 2 * t * cin + 2 * t * cout)
+            * itemsize
+            + (3 * 2 * mhca_heads * t * t + 2 * attn_heads * t * ng
+               + 8 * t * mid) * 4)
+    per_row = windows + 2 * live
+    r = b
+    while r > 1:
+        if r * per_row <= budget and b % r == 0:
+            return r
+        r //= 2
+    return 1
+
+
+def _csp_bwd_xla(attn_heads, mhca_heads, interpret, res, gout):
+    """Round-3 fallback backward (UNAV_CSP_BWD=xla): vjp of the XLA
+    composition, with the three MHCA blocks routed through the fused MHCA
+    custom-VJP kernel pair (pallas_fusion) — the recompute forward and
+    the MHCA grads run as Pallas kernels, only the thin glue (main/final
+    convs, guide attention, k=3 proj) is XLA. Replays that glue once more
+    than plain AD, which is why the kernel backward above replaced it."""
     from .pallas_fusion import _mhca_diff
 
     x, g, m, weights = res
@@ -259,6 +335,59 @@ def _csp_diff_bwd(attn_heads, mhca_heads, interpret, res, gout):
     return (grads[0], grads[1], jnp.zeros_like(m)) + tuple(grads[2:])
 
 
+def _csp_diff_bwd(attn_heads, mhca_heads, interpret, res, gout):
+    import os
+
+    if os.environ.get("UNAV_CSP_BWD") == "xla":
+        return _csp_bwd_xla(attn_heads, mhca_heads, interpret, res, gout)
+
+    x, g, m, weights = res
+    b, t, cin = x.shape
+    mid = weights[5].shape[-1]          # DWT (3, 4, mid, mid)
+    ng, fg = g.shape[1], g.shape[2]
+    emb = weights[7].shape[-1]          # wg (Fg, emb)
+    cout = weights[12].shape[-1]        # wfinal (6mid, cout)
+    r = _pick_rows_csp_bwd(b, t, cin, mid, ng, fg, emb, cout,
+                           x.dtype.itemsize, attn_heads, mhca_heads)
+    grid = (b // r,)
+
+    w_spec = replicated_spec
+    in_specs = (
+        [batch_block_spec(r, t, cin),
+         batch_block_spec(r, ng, fg),
+         batch_block_spec(r, t, 1)]
+        + [w_spec(w.shape) for w in weights]
+        + [batch_block_spec(r, t, cout)]
+    )
+    out_specs = (
+        batch_block_spec(r, t, cin),
+        batch_block_spec(r, ng, fg),
+    ) + tuple(w_spec(w.shape) for w in weights)
+    out_shapes = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(g.shape, g.dtype),
+    ) + tuple(
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_csp_bwd_kernel, n_weights=len(weights),
+                          attn_heads=attn_heads, mhca_heads=mhca_heads,
+                          eps=1e-5),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=CSP_VMEM_LIMIT,
+        ),
+    )(x, g, m, *weights, gout)
+    dx, dg = outs[0], outs[1]
+    gws = tuple(gw.astype(w.dtype) for gw, w in zip(outs[2:], weights))
+    return (dx, dg, jnp.zeros_like(m)) + gws
+
+
 _csp_diff.defvjp(_csp_diff_fwd, _csp_diff_bwd)
 
 # Analytic FLOPs (see pallas_fusion.TRACED_FLOPS): main + final 1x1 convs,
@@ -275,13 +404,21 @@ def _record_csp_flops(b, t, cin, mid, ng, fg, emb, cout, train):
              + 2 * b * t * emb * ng             # per-head scores (all heads)
              + 3 * 2 * b * t * mid * mid        # k=3 proj conv
              + 2 * b * t * 6 * mid * cout)      # final (6mid -> cout)
-    total = 3 * mhca_fwd + dense                # the fused forward kernel
+    fwd = 3 * mhca_fwd + dense                  # the fused forward kernel
+    total = fwd
     if train:
-        # The backward's XLA glue is visible to cost_analysis, but its
-        # three MHCA blocks run as kernels: a recompute-forward each plus
-        # the fused bwd kernel (fwd recompute + ~2x the matmul work) —
-        # same executed-FLOPs convention as pallas_fusion._record_flops.
-        total += 3 * (2 * mhca_fwd + 2 * (mhca_dense + mhca_attn))
+        import os
+
+        if os.environ.get("UNAV_CSP_BWD") == "xla":
+            # fallback backward: XLA glue is visible to cost_analysis,
+            # only the MHCA recompute-fwd + bwd kernels are hidden
+            total += 3 * (2 * mhca_fwd + 2 * (mhca_dense + mhca_attn))
+        else:
+            # recompute-backward kernel: the ENTIRE backward is hidden
+            # from cost_analysis — a full forward recompute plus ~2x the
+            # matmul work for input/weight grads (same executed-FLOPs
+            # convention as pallas_fusion._record_flops).
+            total += fwd + 2 * (3 * (mhca_dense + mhca_attn) + dense)
     TRACED_FLOPS.append(float(total))
 
 
