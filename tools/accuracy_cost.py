@@ -1,0 +1,177 @@
+"""Measure the mAP cost of the opt-in fast eval protocols.
+
+Round-3 verdict weak item: `tpu.approx_topk` and the bf16 compute policy
+have throughput numbers but no accuracy numbers. This tool trains the
+FLAGSHIP model on a learnable synthetic dataset (class-coded feature
+bumps) long enough to localize events with a meaningful mAP, then
+evaluates the SAME weights under the four protocol combinations:
+
+    fp32 exact (reference protocol)   fp32 + approx_topk
+    bf16 exact                        bf16 + approx_topk
+
+and reports avg mAP per protocol plus the delta vs fp32-exact, so a user
+choosing the fast protocols knows the accuracy price to 3 decimals.
+
+Run on the target hardware (the TPU numbers are the ones that matter —
+the Pallas kernels and bf16 matmuls only run there):
+
+    python tools/accuracy_cost.py [--epochs 24] [--out ACCURACY_COST.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+T, NCLS = 224, 100
+
+
+def build_cfg(synth, batch_size, epochs, compute_dtype="float32",
+              approx_topk=False):
+    from unav_yolyolva_tpu.core.config import load_config_dict
+
+    return load_config_dict({
+        "dataset": {
+            "json_file": synth["json_file"],
+            "feat_folder": synth["feat_folder"],
+            "num_classes": NCLS,
+            "max_seq_len": T,
+            "max_num_events": 16,
+        },
+        "loader": {"batch_size": batch_size, "num_workers": 2},
+        "model": {"use_abs_pe": True, "class_aware": True},
+        "opt": {"learning_rate": 4e-4, "epochs": epochs,
+                "warmup_epochs": 2, "weight_decay": 1e-4},
+        "train_cfg": {"loss_weight": 1},
+        "test_cfg": {
+            "pre_nms_topk": 2000, "max_seg_num": 100, "min_score": 0.001,
+            "nms_sigma": 0.4, "iou_threshold": 0.7,
+        },
+        "tpu": {"compute_dtype": compute_dtype, "approx_topk": approx_topk},
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--train-batch", type=int, default=16)
+    ap.add_argument("--eval-batch", type=int, default=32)
+    ap.add_argument("--videos", type=int, default=128)
+    ap.add_argument("--out", default="ACCURACY_COST.json")
+    ap.add_argument("--root", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from unav_yolyolva_tpu.data import UnAV100Dataset, make_batcher, synthetic
+    from unav_yolyolva_tpu.eval.metrics import ANETdetection
+    from unav_yolyolva_tpu.models import build_model
+    from unav_yolyolva_tpu.train import (
+        create_train_state, make_eval_step, make_optimizer, make_train_step,
+        train_one_epoch, valid_one_epoch,
+    )
+
+    root = args.root or tempfile.mkdtemp(prefix="accuracy_cost_")
+    synth = synthetic.make_synthetic_dataset(
+        root, num_videos=args.videos, num_classes=NCLS, min_len=160,
+        max_len=T, visual_dim=2048, audio_dim=128, seed=5,
+        events_per_video=3, val_fraction=0.25,
+    )
+    cfg = build_cfg(synth, args.train_batch, args.epochs)
+
+    # ---- train fp32 (the checkpoint protocol) ---------------------------
+    train_ds = UnAV100Dataset(True, ("train",), **cfg["dataset"])
+    cfg["train_cfg"]["head_empty_cls"] = train_ds.get_attributes()[
+        "empty_label_ids"
+    ]
+    cfg["model"]["train_cfg"] = cfg["train_cfg"]
+    batcher = make_batcher(train_ds, cfg, True, seed=1)
+    model = build_model(cfg)
+    b = args.train_batch
+    dummy = {
+        "visual": jnp.zeros((b, T, 2048)), "audio": jnp.zeros((b, T, 128)),
+        "mask": jnp.ones((b, T), bool), "m_scores": jnp.zeros((b, T)),
+        "m_start_end": jnp.zeros((b, T)), "m_labels": jnp.zeros((b, T, NCLS)),
+    }
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
+    )(rng, dummy)
+    tx, schedule = make_optimizer(params, cfg["opt"], len(batcher))
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"])
+    train_step = make_train_step(model, tx, cfg, mesh=None)
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        state, losses = train_one_epoch(
+            state, batcher, train_step, rng, epoch, print_freq=10_000,
+            schedule=schedule,
+        )
+        if epoch % 4 == 0 or epoch == args.epochs - 1:
+            print(f"# epoch {epoch}: final_loss="
+                  f"{float(losses.get('final_loss', float('nan'))):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    # ---- eval under the four protocols ----------------------------------
+    val_ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
+    evaluator = ANETdetection(
+        synth["json_file"], "validation",
+        tiou_thresholds=np.linspace(0.1, 0.9, 9),
+    )
+    protocols = [
+        ("fp32_exact", "float32", False),
+        ("fp32_approx_topk", "float32", True),
+        ("bf16_exact", "bfloat16", False),
+        ("bf16_approx_topk", "bfloat16", True),
+    ]
+    results = {}
+    for name, dtype, approx in protocols:
+        ecfg = build_cfg(synth, args.eval_batch, args.epochs,
+                         compute_dtype=dtype, approx_topk=approx)
+        ecfg["train_cfg"]["head_empty_cls"] = cfg["train_cfg"][
+            "head_empty_cls"
+        ]
+        ecfg["model"]["train_cfg"] = ecfg["train_cfg"]
+        emodel = build_model(ecfg)
+        val_batcher = make_batcher(val_ds, ecfg, False, seed=0)
+        eval_step = make_eval_step(emodel, ecfg, mesh=None, use_ema=True,
+                                   with_losses=False)
+        mAP, _ = valid_one_epoch(
+            state, val_batcher, eval_step, -1, evaluator=evaluator,
+            print_freq=10_000,
+        )
+        results[name] = float(mAP)
+        print(f"# {name}: avg mAP {mAP:.4f}", flush=True)
+
+    base = results["fp32_exact"]
+    report = {
+        "train_epochs": args.epochs,
+        "videos": args.videos,
+        "avg_mAP": results,
+        "delta_vs_fp32_exact": {
+            k: round(v - base, 4) for k, v in results.items()
+        },
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(report, indent=1))
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
