@@ -35,6 +35,13 @@ Array = jnp.ndarray
 # UNAV_FUSED_MHCA env var (benchmark A/B without code edits).
 FUSED_MHCA = os.environ.get("UNAV_FUSED_MHCA", "auto")
 
+# Fused whole-TransformerBlock path selector (ops/pallas_tblock.py): the
+# UNAV_FUSED_TBLOCK env var is re-read at trace time (benchmark A/B without
+# re-import); the module global is the test hook, like FUSED_MHCA. OPT-IN:
+# only "always" enables it — measured perf-neutral vs the default
+# XLA-block+fused-MHCA path on v5e (see TransformerBlock.__call__).
+FUSED_TBLOCK = os.environ.get("UNAV_FUSED_TBLOCK", "auto")
+
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """Torch Conv1d/Linear default init: kaiming_uniform(a=sqrt(5)).
@@ -142,12 +149,33 @@ class AffineDropPath(nn.Module):
     init_scale_value: float = 1e-4
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(
+        self,
+        x: Optional[Array] = None,
+        train: bool = False,
+        multiplier_batch: Optional[int] = None,
+    ) -> Array:
         scale = self.param(
             "scale",
             nn.initializers.constant(self.init_scale_value),
             (1, 1, self.num_dim),
         )
+        if multiplier_batch is not None:
+            # Multiplier mode for the fused TransformerBlock kernel
+            # (ops/pallas_tblock.py): return the dense per-sample branch
+            # multiplier scale * droppath_mask / keep as (B, 1, C),
+            # drawing the SAME rng stream (same submodule scope, same
+            # call count, fp32 — the apply path's scale*x promotes to
+            # fp32 too) so fused and XLA paths share droppath draws.
+            f = jnp.ones((multiplier_batch, 1, 1), jnp.float32)
+            if self.drop_prob > 0.0 and train:
+                rng = self.make_rng("droppath")
+                keep = 1.0 - self.drop_prob
+                mask = jnp.floor(
+                    keep + jax.random.uniform(rng, f.shape, f.dtype)
+                )
+                f = mask / keep
+            return scale.astype(jnp.float32) * f
         x = scale * x
         if self.drop_prob > 0.0 and train:
             rng = self.make_rng("droppath")
@@ -355,6 +383,34 @@ class TransformerBlock(nn.Module):
         n_out = self.n_out or self.n_embd
         n_hidden = self.n_hidden or 4 * self.n_embd
 
+        # Fused Pallas path (ops/pallas_tblock.py): the WHOLE block —
+        # ln11/ln12, the MHCA, both droppath-scaled residual adds, ln2 and
+        # the 4x MLP — in one VMEM-resident kernel (the stem runs four of
+        # these per step at T=224). Self-attention stride-1 form only;
+        # droppath rng parity via AffineDropPath multiplier mode.
+        #
+        # OPT-IN ONLY (UNAV_FUSED_TBLOCK=always): measured on v5e at the
+        # stem shape (B=64, T=224, C=512, bf16) the whole-block kernel is
+        # neutral on eval (1.42 vs 1.44 ms) and ~4% SLOWER on train
+        # (3.89 vs 3.75 ms) vs the default path (XLA block + fused-MHCA
+        # inner kernel) — tools/bench_tblock.py. XLA already fuses the
+        # LN/residual/MLP glue around the MHCA well, and the roofline
+        # (tools/roofline.py) says the block is MXU-compute-bound, not
+        # HBM-bound, so there is no memory traffic left for whole-block
+        # fusion to harvest. Kept as a tested, correct alternative path.
+        fused_tb = os.environ.get("UNAV_FUSED_TBLOCK", FUSED_TBLOCK)
+        fused_ok = (
+            fused_tb == "always"
+            and FUSED_MHCA != "never"
+            and x1 is x2
+            and self.n_ds_strides == (1, 1)
+            and pos_embd is None
+            and n_out == self.n_embd
+            and x1.shape[-1] == self.n_embd
+        )
+        if fused_ok:
+            return self._fused(x1, mask, n_out, n_hidden, train)
+
         h1 = ChannelLayerNorm(name="ln11", dtype=self.dtype)(x1)
         h2 = ChannelLayerNorm(name="ln12", dtype=self.dtype)(x2)
         out, out_mask = MaskedMHCA(
@@ -397,3 +453,51 @@ class TransformerBlock(nn.Module):
         if pos_embd is not None:
             out = out + pos_embd * out_mask_f
         return out, out_mask
+
+    def _fused(
+        self, x: Array, mask: Array, n_out: int, n_hidden: int, train: bool
+    ) -> Tuple[Array, Array]:
+        """Pallas fused whole-block path. Declares the SAME param tree as
+        the XLA path via shape-only submodule calls (DCE'd by XLA), draws
+        the droppath multipliers through the real AffineDropPath
+        submodules (same rng stream as the apply path), then runs the
+        packed-weight kernel: forward-only for eval, the recompute-
+        backward custom-VJP pair for train."""
+        from ..ops.pallas_tblock import pack_tblock_params, tblock_fused
+
+        b = x.shape[0]
+        dense = dict(
+            kernel_init=torch_conv_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+        tiny_x, tiny_m = x[:1, :8], mask[:1, :8]
+        h1 = ChannelLayerNorm(name="ln11", dtype=self.dtype)(tiny_x)
+        h2 = ChannelLayerNorm(name="ln12", dtype=self.dtype)(tiny_x)
+        MaskedMHCA(
+            self.n_embd, self.n_head, name="attn", dtype=self.dtype,
+        )(h1, h2, tiny_m, train=train)
+        h = ChannelLayerNorm(name="ln2", dtype=self.dtype)(tiny_x)
+        h = nn.Dense(n_hidden, name="mlp_fc1", **dense)(h)
+        nn.Dense(n_out, name="mlp_fc2", **dense)(h)
+
+        if self.path_pdrop > 0.0:
+            ma = AffineDropPath(
+                self.n_embd, self.path_pdrop, name="drop_path_attn"
+            )(train=train, multiplier_batch=b)
+            mmlp = AffineDropPath(
+                n_out, self.path_pdrop, name="drop_path_mlp"
+            )(train=train, multiplier_batch=b)
+        else:
+            ma = jnp.ones((b, 1, self.n_embd), jnp.float32)
+            mmlp = jnp.ones((b, 1, n_out), jnp.float32)
+
+        weights = pack_tblock_params(self.variables["params"])
+        out = tblock_fused(
+            x, mask, ma, mmlp, *weights,
+            heads=self.n_head,
+            cdtype=self.dtype or x.dtype,
+            train=train,
+            interpret=not is_tpu_backend(),
+        )
+        return out, mask
