@@ -154,6 +154,66 @@ def test_nce_zero_with_no_negatives():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_contrastive_padded_rows_do_not_leak(rng):
+    """A zero-padded eval row (row_valid False) must leave inter and intra
+    EXACTLY equal to the unpadded batch's values: without masking, the pad
+    row's CLS embedding adds a junk diagonal term and sits in every real
+    row's CLIP softmax denominator, and the intra mean is diluted by the
+    padded batch size (train/loop.py pads the final partial eval batch)."""
+    from unav_yolyolva_tpu.models.meta_arch import ContrastiveLosses
+
+    B, C, K = 3, 8, 2
+
+    def make_aux(b, valid):
+        r = np.random.default_rng(7)
+        return {
+            "cls_video": jnp.asarray(r.normal(size=(b, C)), jnp.float32),
+            "cls_text": jnp.asarray(r.normal(size=(b, C)), jnp.float32),
+            "key_video": jnp.asarray(r.normal(size=(b, C)), jnp.float32),
+            "key_text": jnp.asarray(r.normal(size=(b, C)), jnp.float32),
+            "key_any": jnp.asarray(valid),
+            "nonkey_video": jnp.asarray(r.normal(size=(b, K, C)), jnp.float32),
+            "nonkey_video_valid": jnp.tile(jnp.asarray(valid)[:, None], (1, K)),
+            "nonkey_text": jnp.asarray(r.normal(size=(b, K, C)), jnp.float32),
+            "nonkey_text_valid": jnp.tile(jnp.asarray(valid)[:, None], (1, K)),
+            "row_valid": jnp.asarray(valid),
+        }
+
+    mod = ContrastiveLosses()
+    # full batch of B real rows (same seed -> the first B rows of the
+    # padded aux share the real rows' random values)
+    aux_real = make_aux(B + 1, np.asarray([True] * (B + 1)))
+    aux_ref = {
+        k: (v[:B] if getattr(v, "ndim", 0) >= 1 else v)
+        for k, v in aux_real.items()
+    }
+    params = mod.init(jax.random.PRNGKey(0), aux_ref)
+    inter_ref, intra_ref = mod.apply(params, aux_ref)
+
+    aux_pad = dict(aux_real)
+    aux_pad["row_valid"] = jnp.asarray([True] * B + [False])
+    aux_pad["key_any"] = jnp.asarray([True] * B + [False])
+    inter_pad, intra_pad = mod.apply(params, aux_pad)
+
+    np.testing.assert_allclose(float(inter_pad), float(inter_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(intra_pad), float(intra_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients through the padded batch stay finite (the -inf masking
+    # must not leak NaNs through log_softmax's backward)
+    def total(floats):
+        aux_in = dict(aux_pad, **floats)
+        i1, i2 = mod.apply(params, aux_in)
+        return i1 + i2
+
+    float_keys = ("cls_video", "cls_text", "key_video", "key_text",
+                  "nonkey_video", "nonkey_text")
+    grads = jax.grad(total)({k: aux_pad[k] for k in float_keys})
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_nce_value_with_negatives(rng):
     from unav_yolyolva_tpu.models.meta_arch import ContrastiveLosses, LOGIT_SCALE_INIT
 

@@ -67,14 +67,31 @@ class ContrastiveLosses(nn.Module):
         cls_v = _l2norm(aux["cls_video"])
         cls_t = _l2norm(aux["cls_text"])
         b = cls_v.shape[0]
+        # row_valid: False only for the zero-padded rows valid_one_epoch
+        # appends to the final partial eval batch (a real video always has
+        # >= 1 valid frame; train batches are never padded). Without this,
+        # a padded row's CLS embedding (the CLS position is always
+        # mask-valid) would add junk diagonal terms AND sit in every real
+        # row's softmax denominator. The reference never pads, so masking
+        # the pads is the reference-faithful behavior; for all-real
+        # batches every branch below is the identity.
+        rv = aux.get("row_valid")                       # (B,) bool
+        if rv is None:
+            rv = jnp.ones((b,), bool)
+        n_real = jnp.maximum(jnp.sum(rv.astype(jnp.float32)), 1.0)
+        neg_inf = jnp.finfo(jnp.float32).min
         logits = jnp.exp(ls_inter) * (cls_v @ cls_t.T)  # (B, B)
+        logits = jnp.where(rv[None, :] & rv[:, None], logits, neg_inf)
+        # keep pad diagonals finite so no row of logits (or of logits.T)
+        # is all -inf — log_softmax of an all--inf row is NaN; the pad
+        # diagonal terms themselves are discarded by the where() below
+        eye = jnp.eye(b, dtype=bool)
+        logits = jnp.where(eye & ~rv[:, None], 0.0, logits)
         labels = jnp.arange(b)
-        ce_v = -jnp.sum(
-            jax.nn.log_softmax(logits, axis=1)[labels, labels]
-        )
-        ce_t = -jnp.sum(
-            jax.nn.log_softmax(logits.T, axis=1)[labels, labels]
-        )
+        diag_v = jax.nn.log_softmax(logits, axis=1)[labels, labels]
+        diag_t = jax.nn.log_softmax(logits.T, axis=1)[labels, labels]
+        ce_v = -jnp.sum(jnp.where(rv, diag_v, 0.0))
+        ce_t = -jnp.sum(jnp.where(rv, diag_t, 0.0))
         inter = (ce_v + ce_t) / 2.0
 
         def nce(q, k, neg, neg_valid, scale):
@@ -101,7 +118,11 @@ class ContrastiveLosses(nn.Module):
         )
         per_sample = (loss_v + loss_t) / 2.0
         per_sample = per_sample * aux["key_any"].astype(per_sample.dtype)
-        intra = jnp.sum(per_sample) / b
+        # mean over REAL rows: padded rows already contribute 0 to the sum
+        # (no key frames -> key_any False), but dividing by the padded
+        # batch size would dilute the mean; n_real == b for any real batch
+        per_sample = per_sample * rv.astype(per_sample.dtype)
+        intra = jnp.sum(per_sample) / n_real
         return inter, intra
 
 
@@ -218,6 +239,9 @@ class LocPointTransformer(nn.Module):
                 for x in offsets
             ]
 
+        # a zero-padded eval row has an all-false frame mask; a real video
+        # always has >= 1 valid frame (see ContrastiveLosses)
+        aux["row_valid"] = jnp.any(mask, axis=1)
         inter_loss, intra_loss = ContrastiveLosses(name="contrastive")(aux)
 
         return {

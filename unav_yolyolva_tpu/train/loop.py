@@ -204,9 +204,10 @@ def valid_one_epoch(
     # device->host copy) BEFORE harvesting batch i, so the host fetch
     # overlaps the next batch's on-device compute instead of serializing a
     # full round-trip per batch. (The reference's loop blocks per batch.)
-    # NB: on a non-divisible final batch the zero-padded rows participate in
-    # the (batch-mean) val losses, so those are slightly diluted for that
-    # one batch; mAP is unaffected (padded rows are never harvested).
+    # NB: on a non-divisible final batch the zero-padded rows contribute
+    # nothing to the val losses: cls/reg/score losses are masked sums and
+    # the contrastive pair masks pad rows via row_valid (meta_arch.py);
+    # mAP is likewise unaffected (padded rows are never harvested).
     # ONE compiled eval shape: every batch (incl. a partial final one) is
     # padded to the same fixed global size; with an AOT-compiled multi-host
     # step any other batch dim would be rejected outright
