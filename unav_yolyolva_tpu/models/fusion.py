@@ -120,17 +120,16 @@ class MaxSigmoidCSPLayer(nn.Module):
         # and to the flagship geometry (embed == mid: no embed conv);
         # the T=7/14/28 levels are padded inside the wrapper.
         #
-        # Default: EVAL ONLY. Same-window A/B on v5e (tools/
-        # bench_round3.sh): eval step +25% (1628 vs 1304 videos/s fp32),
-        # but the TRAIN step is ~2% slower with the kernel (fp32 515 vs
-        # 523, bf16 635 vs 647 clips/s) — the custom VJP re-runs the
-        # layer's XLA glue once more in the backward than plain AD of
-        # the composition does, and the backward dominates the step.
-        # UNAV_FUSED_CSP=always forces the kernel in train too (the
-        # custom-VJP path stays tested via the FUSED_MHCA="always" CPU
-        # override); =never falls back to the XLA composition (which
+        # Default: ON for BOTH paths. Same-window A/B on v5e: eval step
+        # +25% (1628 vs 1304 videos/s fp32, tools/bench_round3.sh);
+        # train step +2-3% with the recompute-backward Pallas kernel
+        # (interleaved A/B tools/bench_csp_train_ab.py: median 627.6 vs
+        # 609.5 clips/s bf16 batch 64; the round-3 backward — vjp of the
+        # XLA composition — measured ~2% SLOWER, which is what kept the
+        # train default off then; UNAV_CSP_BWD=xla restores it).
+        # UNAV_FUSED_CSP=never falls back to the XLA composition (which
         # still uses the per-block fused MHCA kernels) without touching
-        # the MHCA knob.
+        # the MHCA knob; =eval restores the round-3 eval-only default.
         import os
 
         from .blocks import FUSED_MHCA
@@ -139,8 +138,7 @@ class MaxSigmoidCSPLayer(nn.Module):
         fused_ok = (
             FUSED_MHCA != "never"
             and fused_csp != "never"
-            and (not train or fused_csp == "always"
-                 or FUSED_MHCA == "always")
+            and (not train or fused_csp != "eval")
             and self.embed_channels == mid
             and mid % 128 == 0
             # the kernel hardcodes the flagship structure: exactly 3 MHCA
