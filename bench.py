@@ -6,6 +6,14 @@ as ONE jitted program on the available accelerator (real v5e chip under the
 driver), at the reference eval protocol (T=224, 100 classes, batch 64,
 pre_nms_topk 2000, max 100 segments/video).
 
+Timing protocol (drift-robust since round 5): BENCH_WINDOWS (default 5)
+independent timing windows of BENCH_ITERS (default 10) batches each;
+the quoted value is the MEDIAN window, with the min->max spread reported
+as spread_pct. A single 10-iteration window on this shared chip moved
+the round artifact -5.6% round-over-round on an unchanged eval path
+(BENCH_r03 vs r04); the median-of-windows protocol bounds that drift
+and makes round artifacts comparable.
+
 vs_baseline: ratio against the PyTorch-CPU reference eval throughput. If a
 measured baseline is recorded in BASELINE_MEASURED.json (produced by
 tools/bench_reference_cpu.py on this host), it is used; otherwise the
@@ -13,13 +21,20 @@ conservative fallback estimate in that file's documentation applies.
 
 Prints exactly one JSON line:
   {"metric": "eval_videos_per_sec", "value": N, "unit": "videos/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "spread_pct": S, "windows": [...], ...}
+
+The same run also measures the full TRAIN step (fwd/bwd/clip/AdamW/EMA,
+bf16, batch 64) under the same windowed protocol and embeds it in the
+line as train_clips_per_sec / train_spread_pct / train_mfu_vs_bf16_peak
+(BENCH_TRAIN=0 skips it; a train-side failure never takes down the eval
+metric).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -149,30 +164,40 @@ def main():
     # previous batch's compute exactly like a double-buffered input
     # pipeline). Quantifies the H2D cost the default protocol excludes.
     include_h2d = os.environ.get("BENCH_H2D", "0") == "1"
-    window = 4
-    pending, done = [], 0
-    t0 = time.perf_counter()
-    for it in range(iters):
-        if include_h2d:
-            dev_batch = jax.device_put(batch)
-        dets, losses = run(state, dev_batch)
-        for leaf in jax.tree.leaves(dets):
-            try:
-                leaf.copy_to_host_async()
-            except Exception:
-                break
-        pending.append(dets)
-        if len(pending) > window:
-            d = jax.device_get(pending.pop(0))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+
+    def one_window():
+        nonlocal dev_batch
+        window = 4
+        pending, done = [], 0
+        t0 = time.perf_counter()
+        for it in range(iters):
+            if include_h2d:
+                dev_batch = jax.device_put(batch)
+            dets, losses = run(state, dev_batch)
+            for leaf in jax.tree.leaves(dets):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    break
+            pending.append(dets)
+            if len(pending) > window:
+                d = jax.device_get(pending.pop(0))
+                assert np.isfinite(d["scores"]).all()
+                done += 1
+        for d in pending:
+            d = jax.device_get(d)
             assert np.isfinite(d["scores"]).all()
             done += 1
-    for d in pending:
-        d = jax.device_get(d)
-        assert np.isfinite(d["scores"]).all()
-        done += 1
-    dt = time.perf_counter() - t0
-    assert done == iters
-    vps = batch_size * iters / dt
+        dt = time.perf_counter() - t0
+        assert done == iters
+        return batch_size * iters / dt
+
+    windows = [one_window() for _ in range(n_windows)]
+    vps = statistics.median(windows)
+    spread_pct = (max(windows) - min(windows)) / vps * 100 if vps else None
+    # dt for the MFU denominator: the median window's wall clock
+    dt = batch_size * iters / vps
 
     baseline_vps = None
     baseline_file = os.path.join(
@@ -195,19 +220,132 @@ def main():
         if peak:
             mfu = (flops * iters / dt) / peak
 
-    print(json.dumps({
+    record = {
         "metric": "eval_videos_per_sec",
         "value": round(vps, 3),
         "unit": "videos/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "spread_pct": round(spread_pct, 2) if spread_pct is not None else None,
+        "windows": [round(w, 1) for w in windows],
         "protocol": ("full_pipeline_h2d_included" if include_h2d
-                     else "device_throughput_h2d_excluded"),
+                     else "device_throughput_h2d_excluded"
+                     ) + "_median_of_windows",
         "batch": batch_size,
         "dtype": os.environ.get("BENCH_DTYPE", "float32"),
         "flops_per_video": round(flops_per_video / 1e9, 3) if flops_per_video else None,
         "flops_unit": "GFLOP",
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
-    }))
+    }
+
+    # train-side metric (same windowed protocol); a failure here must never
+    # take down the eval metric
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            record.update(measure_train(n_windows, iters, peak))
+        except Exception as e:
+            record["train_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(record))
+
+
+def measure_train(n_windows, iters, peak):
+    """Full train step (on-device targets, fwd/bwd, global-norm clip, AdamW,
+    EMA, loss-normalizer) at the flagship throughput config: bf16, batch 64.
+    Same median-of-windows protocol as the eval metric; pipelined dispatch
+    (steps chain through the donated state), fenced once per window."""
+    import jax
+    import jax.numpy as jnp
+
+    from unav_yolyolva_tpu.core.config import load_config_dict
+    from unav_yolyolva_tpu.models import build_model
+    from unav_yolyolva_tpu.parallel import make_mesh, shard_batch
+    from unav_yolyolva_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    b, t, c = int(os.environ.get("BENCH_TRAIN_BATCH", "64")), 224, 100
+    dtype_name = os.environ.get("BENCH_TRAIN_DTYPE", "bfloat16")
+    cfg = load_config_dict({
+        "dataset": {"max_seq_len": t, "num_classes": c, "max_num_events": 64},
+        "loader": {"batch_size": b},
+        "model": {
+            "use_abs_pe": True, "class_aware": True,
+            "intra_contr_weight": 1.0, "inter_contr_weight": 0.001,
+            "score_V_weight": 0.001, "score_A_weight": 0.001,
+        },
+        "opt": {"learning_rate": 1e-4, "epochs": 40, "warmup_epochs": 5,
+                "weight_decay": 1e-4},
+        "train_cfg": {"loss_weight": 1},
+        "tpu": {"compute_dtype": dtype_name},
+    })
+    mesh = make_mesh()
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    host = np.random.default_rng(0)
+    batch = {
+        "visual": host.normal(size=(b, t, 2048)).astype(np.float32),
+        "audio": host.normal(size=(b, t, 128)).astype(np.float32),
+        "mask": np.ones((b, t), bool),
+        "gt_segments": np.tile(
+            np.float32([[10.0, 60.0], [100.0, 150.0]] + [[0, 0]] * 62),
+            (b, 1, 1)),
+        "gt_labels": np.tile(np.int32([3, 7] + [0] * 62), (b, 1)),
+        "gt_valid": np.tile(np.asarray([True, True] + [False] * 62), (b, 1)),
+    }
+    init_inputs = {
+        "visual": jnp.zeros((b, t, 2048)), "audio": jnp.zeros((b, t, 128)),
+        "mask": jnp.ones((b, t), bool), "m_scores": jnp.zeros((b, t)),
+        "m_start_end": jnp.zeros((b, t)), "m_labels": jnp.zeros((b, t, c)),
+    }
+    params = jax.jit(
+        lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
+    )(rng, init_inputs)
+    tx, _ = make_optimizer(params, cfg["opt"], 100)
+    state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
+                               mesh=mesh)
+    train_step = make_train_step(model, tx, cfg, mesh=mesh)
+    db = shard_batch(batch, mesh)
+
+    from unav_yolyolva_tpu.ops import pallas_fusion
+    pallas_fusion.TRACED_FLOPS.clear()
+    lowered = train_step.lower(state, db, rng)
+    kernel_flops = sum(pallas_fusion.TRACED_FLOPS)
+    compiled = lowered.compile()
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if cost and cost.get("flops"):
+            flops = float(cost["flops"]) + kernel_flops
+    except Exception:
+        pass
+
+    # Warmup: one full discarded window. Two lone steps are not enough on
+    # the axon runtime — the first measured window still came in ~10% cold
+    # and inflated spread_pct.
+    for _ in range(iters):
+        state, losses = compiled(state, db, rng)
+    float(losses["final_loss"])
+
+    windows = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, losses = compiled(state, db, rng)
+        float(losses["final_loss"])
+        windows.append(b * iters / (time.perf_counter() - t0))
+    cps = statistics.median(windows)
+    spread = (max(windows) - min(windows)) / cps * 100 if cps else None
+    mfu = None
+    if flops and peak and cps:
+        mfu = (flops * cps / b) / peak
+    return {
+        "train_clips_per_sec": round(cps, 3),
+        "train_spread_pct": round(spread, 2) if spread is not None else None,
+        "train_windows": [round(w, 1) for w in windows],
+        "train_batch": b,
+        "train_dtype": dtype_name,
+        "train_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+    }
 
 
 def _fallback_reexec(e):
