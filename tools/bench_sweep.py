@@ -50,7 +50,10 @@ def main():
             r = run_json(
                 [sys.executable, os.path.join(ROOT, "bench.py")],
                 {"BENCH_BATCH": str(b), "BENCH_DTYPE": dt,
-                 "BENCH_ITERS": "10"},
+                 "BENCH_ITERS": "10",
+                 # train points come from bench_train.py below; bench.py's
+                 # own embedded train metric would triple each eval point
+                 "BENCH_TRAIN": "0"},
             )
             records["eval"].append(r)
             print(f"eval  b={b:4d} {dt:9s}: {r['value']:8.1f} videos/s  "

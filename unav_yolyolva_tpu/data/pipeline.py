@@ -19,12 +19,15 @@ gt_* inside the step (geometry/assign.py) — the reference's collate extras
 and worker-side label assignment loops have no host-side counterpart here.
 
 T policy matches the reference: training always pads to max_seq_len; eval
-ALSO pads every batch to exactly max_seq_len (reference collate rounds short
-eval batches UP to max_seq_len, data_utils.py:171-173) — so the eval step
-compiles exactly once. Inputs longer than max_seq_len are truncated: the
-reference's fusion guide width is architecturally hard-wired to max_seq_len
-(multimodal_backbones.py:549,152) and the reference CRASHES outright on such
-inputs (UnAV-100's 60 s cap means its data never reaches that).
+pads every batch to max_seq_len (reference collate rounds short eval batches
+UP to max_seq_len, data_utils.py:171-173) — one compiled shape for all-short
+batches. Batches containing an input LONGER than max_seq_len round up to the
+next max_div_factor multiple (data_utils.py:174-176), one compile per length
+bucket; the model handles the extra length via interpolated PE
+(models/backbone.py) and the width-seq_len resampled guide view
+(models/fusion.py) — the reference itself CRASHES on such inputs (its guide
+width is architecturally hard-wired, multimodal_backbones.py:549,152;
+UnAV-100's 60 s cap means its data never reaches that). See PARITY.md.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
+from ..geometry.points import eval_seq_len
 from .dataset import UnAV100Dataset
 
 
@@ -52,6 +56,7 @@ def collate(
     max_seq_len: int,
     max_num_events: int,
     training: bool,
+    max_div_factor: int = 1,
 ) -> Dict:
     lens = np.asarray([it["visual"].shape[0] for it in items])
     max_len = int(lens.max())
@@ -59,14 +64,17 @@ def collate(
         assert max_len <= max_seq_len, "train inputs must fit max_seq_len"
         t = max_seq_len
     else:
-        # eval pads EVERY batch to exactly max_seq_len (ref data_utils.py:
-        # 171-173 rounds short batches UP to max_seq_len; the fusion guide
-        # width is hard-wired to it) — unconditionally, so the eval step
-        # compiles exactly ONE shape even for batches of only-short videos.
-        # Longer inputs, which CRASH the reference, are truncated (pad_to
-        # slices) — decode clamps the resulting segments to the true
-        # duration.
-        t = max_seq_len
+        # eval pads EVERY batch to max_seq_len (ref data_utils.py:171-173
+        # rounds short batches UP to max_seq_len; the fusion guide width is
+        # hard-wired to it) — so batches of only-short videos all share ONE
+        # compiled shape. Batches containing a LONGER video round up to the
+        # next max_div_factor multiple instead (ref data_utils.py:174-176;
+        # geometry.points.eval_seq_len), one extra compile per length
+        # bucket. The reference itself CRASHES on such inputs (its guide
+        # projection width is architectural); the model runs them through
+        # the width-seq_len resampled guide view (models/fusion.py) +
+        # interpolated PE (models/backbone.py) — see PARITY.md.
+        t = eval_seq_len(max_len, max_seq_len, max_div_factor)
 
     b = len(items)
     visual = np.stack([pad_to(it["visual"], t) for it in items])
@@ -125,6 +133,7 @@ class Batcher:
         process_index: int = 0,
         process_count: int = 1,
         pad_to: int = 0,
+        max_div_factor: int = 1,
     ):
         """`batch_size` is the GLOBAL batch. With process_count > 1
         (multi-host DP), every process forms the same deterministic global
@@ -163,6 +172,7 @@ class Batcher:
                 f"{process_count} processes"
             )
         self.max_num_events = max_num_events
+        self.max_div_factor = max_div_factor
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -237,6 +247,7 @@ class Batcher:
                             max_seq_len=self.dataset.max_seq_len,
                             max_num_events=self.max_num_events,
                             training=self.dataset.is_training,
+                            max_div_factor=self.max_div_factor,
                         )
                     else:
                         # this process's block of the padded batch is all
@@ -249,6 +260,7 @@ class Batcher:
                             max_seq_len=self.dataset.max_seq_len,
                             max_num_events=self.max_num_events,
                             training=self.dataset.is_training,
+                            max_div_factor=self.max_div_factor,
                         )
                         batch = {
                             k: (np.zeros_like(v)
@@ -309,10 +321,14 @@ def make_batcher(dataset, cfg: Dict, is_training: bool, seed: int = 0,
     if not is_training and mesh is not None and process_count > 1:
         n_dev = mesh.devices.size
         pad_to = -(-cfg["loader"]["batch_size"] // n_dev) * n_dev
+    # largest pyramid stride = the eval round-up quantum for over-length
+    # inputs (reference unav100.py:84-89)
+    mdf = cfg["model"]["scale_factor"] ** cfg["model"]["backbone_arch"][-1]
     return Batcher(
         dataset,
         cfg["loader"]["batch_size"],
         max_num_events=cfg["dataset"].get("max_num_events", 64),
+        max_div_factor=mdf,
         shuffle=is_training,
         drop_last=is_training,
         seed=seed,

@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.masked import adaptive_avg_pool1d
+from ..ops.masked import (
+    adaptive_avg_pool1d, resample_mask_nearest, resample_time_linear,
+)
 from ..ops.pallas_fusion import is_tpu_backend
 from .blocks import (
     ChannelLayerNorm,
@@ -268,6 +270,19 @@ class FusionModule(nn.Module):
 
         td_heads = [8, 4, 4, 4, 4]
         bu_heads = [8, 8, 8, 8, 8]
+        # Over-length eval extension: the guide projections' in_features and
+        # the match_projection width are architecturally fixed to seq_len
+        # (= max_seq_len), so for eval inputs padded BEYOND it (collate
+        # rounds T>max_seq_len up to the next max_div_factor multiple,
+        # reference data_utils.py:171-176) the whole guide / text-enhancer
+        # subgraph runs in a width-seq_len linearly-resampled view of the
+        # guiding modality. The reference itself CRASHES on this path (its
+        # guide nn.Linear in_features is hard-wired to max_seq_len,
+        # backbones.py:549,152); this is the documented tpu-side semantics
+        # (PARITY.md), a static no-op whenever T == seq_len.
+        if txt_feats.shape[1] != self.seq_len:
+            txt_feats = resample_time_linear(txt_feats, self.seq_len)
+            mask_txt = resample_mask_nearest(mask_txt, self.seq_len)
         # the guide is the other modality transposed: C tokens of width T
         guide = jnp.transpose(txt_feats, (0, 2, 1))  # (B, C, T)
 

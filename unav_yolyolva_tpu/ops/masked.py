@@ -77,6 +77,45 @@ def interpolate_pe_linear(pe: jnp.ndarray, new_len: int) -> jnp.ndarray:
     return pe[lo] * (1.0 - w) + pe[hi] * w
 
 
+def resample_time_linear(x: jnp.ndarray, new_len: int) -> jnp.ndarray:
+    """Linear resampling of the time axis of (B, T, C) -> (B, new_len, C).
+
+    Same half-pixel-center coordinates as interpolate_pe_linear
+    (= F.interpolate mode='linear', align_corners=False). Used by the
+    over-length-eval guide view (models/fusion.py): inputs longer than
+    max_seq_len are a path the reference CRASHES on (its guide projection
+    in_features is hard-wired to max_seq_len,
+    /root/reference/libs/modeling/multimodal_backbones.py:549,152), so this
+    is a documented tpu-side extension, exact identity at T == new_len.
+    """
+    t_in = x.shape[1]
+    if t_in == new_len:
+        return x
+    scale = t_in / new_len
+    src = (jnp.arange(new_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, t_in - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t_in - 1)
+    w = (src - lo.astype(jnp.float32))[None, :, None]
+    return (
+        jnp.take(x, lo, axis=1) * (1.0 - w) + jnp.take(x, hi, axis=1) * w
+    ).astype(x.dtype)
+
+
+def resample_mask_nearest(mask: jnp.ndarray, new_len: int) -> jnp.ndarray:
+    """Nearest-neighbour resampling of a (B, T) bool mask to (B, new_len) —
+    the validity counterpart of resample_time_linear."""
+    t_in = mask.shape[1]
+    if t_in == new_len:
+        return mask
+    src = jnp.clip(
+        ((jnp.arange(new_len, dtype=jnp.float32) + 0.5) * (t_in / new_len))
+        .astype(jnp.int32),
+        0, t_in - 1,
+    )
+    return jnp.take(mask, src, axis=1)
+
+
 def adaptive_avg_pool1d(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """Adaptive average pooling over the T axis of (..., T, C).
 
