@@ -42,6 +42,26 @@ from .blocks import torch_conv_kernel_init, trunc_normal_init
 Array = jnp.ndarray
 
 
+def _ln_dtype(dtype):
+    """Compute dtype for the alignment LayerNorms and linear projections.
+
+    Under the bf16 policy the module's LNs and the input/output projections
+    historically ran fp32 (no dtype threading) — fp32 islands in an
+    otherwise bf16 program (round-4 verdict item 5). flax LayerNorm keeps
+    its statistics in fp32 regardless of `dtype`
+    (normalization._compute_stats force_float32_reductions), so threading
+    the compute dtype only changes the STORAGE dtype of the normalized
+    output — the safe TPU recipe. UNAV_ALIGN_BF16=0 restores the fp32
+    islands (trace-time knob, same pattern as UNAV_FUSED_CSP) for A/B
+    measurement. No-op when dtype is None (fp32 policy).
+    """
+    import os
+
+    if os.environ.get("UNAV_ALIGN_BF16", "1") == "0":
+        return None
+    return dtype
+
+
 class AlignmentMHA(nn.Module):
     """Multi-head attention over the fused [video; text] sequence with the
     reference's structured mask (backbones.py:845-924, mask built at
@@ -162,7 +182,8 @@ class MultiWayBlock(nn.Module):
     def __call__(
         self, fused: Array, mask_video: Array, mask_text: Array, n_video: int
     ) -> Tuple[Array, Array]:
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1_fused")(fused)
+        ln = _ln_dtype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1_fused", dtype=ln)(fused)
         h = AlignmentMHA(self.num_hidden, name="attn_fusion",
                          dtype=self.dtype)(h, mask_video, mask_text, n_video)
         residual = fused + h
@@ -171,10 +192,10 @@ class MultiWayBlock(nn.Module):
         res_text = residual[:, n_video:]
         video = res_video + AlignmentFFN(
             self.num_hidden, name="ffn_video", dtype=self.dtype
-        )(nn.LayerNorm(epsilon=1e-5, name="norm2_video")(res_video))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2_video", dtype=ln)(res_video))
         text = res_text + AlignmentFFN(
             self.num_hidden, name="ffn_text", dtype=self.dtype
-        )(nn.LayerNorm(epsilon=1e-5, name="norm2_text")(res_text))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2_text", dtype=ln)(res_text))
         return video, text
 
 
@@ -224,6 +245,9 @@ def select_contrastive_candidates(
     (backbones.py:1080-1124). Returns masked key means and top-k non-key
     candidate embeddings."""
     b, t, c = embedding.shape
+    # loss-feeding statistics accumulate in fp32 regardless of the compute
+    # policy: a bf16 sum over T frames loses mantissa the NCE loss notices
+    embedding = embedding.astype(jnp.float32)
     key_mask = key_indicator > 0.5                         # (B, T)
     key_count = jnp.sum(key_mask, axis=1)
     key_mean = jnp.sum(
@@ -284,7 +308,9 @@ class Alignment(nn.Module):
     ) -> Tuple[Array, Array, Dict]:
         b, t, _ = video.shape
         tn = trunc_normal_init()
-        dense = dict(kernel_init=tn, bias_init=nn.initializers.zeros)
+        ln = _ln_dtype(self.dtype)
+        dense = dict(kernel_init=tn, bias_init=nn.initializers.zeros,
+                     dtype=ln)
 
         video = nn.Dense(self.num_hidden, name="proj_fc_video", **dense)(video)
         text = nn.Dense(self.num_hidden, name="proj_fc_text", **dense)(text)
@@ -301,15 +327,23 @@ class Alignment(nn.Module):
         type_video = self.param("type_video", tn, (1, 1, self.num_hidden))
         type_text = self.param("type_text", tn, (1, 1, self.num_hidden))
 
-        v = jnp.concatenate([jnp.tile(cls_video, (b, 1, 1)), video], axis=1)
-        x = jnp.concatenate([jnp.tile(cls_text, (b, 1, 1)), text], axis=1)
+        # cast the fp32 embedding params to the compute dtype BEFORE the
+        # concat/add — otherwise they silently promote the whole sequence
+        # back to fp32 under the bf16 policy
+        cdt = video.dtype
+        v = jnp.concatenate(
+            [jnp.tile(cls_video.astype(cdt), (b, 1, 1)), video], axis=1
+        )
+        x = jnp.concatenate(
+            [jnp.tile(cls_text.astype(cdt), (b, 1, 1)), text], axis=1
+        )
         ones = jnp.ones((b, 1), dtype=bool)
         mv = jnp.concatenate([ones, mask_video], axis=1)
         mt = jnp.concatenate([ones, mask_text], axis=1)
         n_video, n_text = t + 1, t + 1
 
-        v = v + pos_video[:, :n_video] + type_video
-        x = x + pos_text[:, :n_text] + type_text
+        v = v + pos_video[:, :n_video].astype(cdt) + type_video.astype(cdt)
+        x = x + pos_text[:, :n_text].astype(cdt) + type_text.astype(cdt)
 
         # shared MultiWay block applied num_layers times (reference quirk).
         # The structured attention mask (fused_attention_mask) is consumed
@@ -324,13 +358,17 @@ class Alignment(nn.Module):
         cls_v, v = v[:, :1], v[:, 1:]
         cls_x, x = x[:, :1], x[:, 1:]
 
-        v = nn.LayerNorm(epsilon=1e-5, name="norm_video")(residual_video + v)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_text")(residual_text + x)
+        v = nn.LayerNorm(epsilon=1e-5, name="norm_video",
+                         dtype=ln)(residual_video + v)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_text",
+                         dtype=ln)(residual_text + x)
         # output MLP: Linear + ReLU + LayerNorm (fc_video / fc_text)
         v = nn.Dense(self.num_hidden, name="fc_video_lin", **dense)(v)
-        v = nn.LayerNorm(epsilon=1e-5, name="fc_video_norm")(nn.relu(v))
+        v = nn.LayerNorm(epsilon=1e-5, name="fc_video_norm",
+                         dtype=ln)(nn.relu(v))
         x = nn.Dense(self.num_hidden, name="fc_text_lin", **dense)(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="fc_text_norm")(nn.relu(x))
+        x = nn.LayerNorm(epsilon=1e-5, name="fc_text_norm",
+                         dtype=ln)(nn.relu(x))
 
         # auxiliary heads. score heads are Conv1d(512,1,1) == Dense; class
         # heads gate contrastive candidate selection via their argmax.
@@ -363,8 +401,8 @@ class Alignment(nn.Module):
         )
 
         aux = {
-            "cls_video": cls_v[:, 0],
-            "cls_text": cls_x[:, 0],
+            "cls_video": cls_v[:, 0].astype(jnp.float32),
+            "cls_text": cls_x[:, 0].astype(jnp.float32),
             "key_video": sel_v["key_mean"],
             "key_text": sel_x["key_mean"],
             "key_any": sel_v["key_any"],
