@@ -149,7 +149,14 @@ def main():
         ecfg["model"]["train_cfg"] = ecfg["train_cfg"]
         emodel = build_model(ecfg)
         val_batcher = make_batcher(val_ds, ecfg, False, seed=0)
-        eval_step = make_eval_step(emodel, ecfg, mesh=None, use_ema=True,
+        # use_ema=False: the checkpoint protocol evaluates EMA weights, but
+        # at this tool's synthetic scale (~10^2-10^3 steps) EMA(0.999) is
+        # still dominated by the random init — 0.999^900 ≈ 0.41 init weight
+        # — which floors mAP near zero and makes every protocol delta
+        # noise. The protocol comparison needs the TRAINED operating
+        # point; which weights it runs on is orthogonal to the
+        # fp32/bf16 x exact/approx_topk axes being measured.
+        eval_step = make_eval_step(emodel, ecfg, mesh=None, use_ema=False,
                                    with_losses=False)
         mAP, _ = valid_one_epoch(
             state, val_batcher, eval_step, -1, evaluator=evaluator,
