@@ -41,6 +41,11 @@ def timed(fn, *args, iters=20):
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from unav_yolyolva_tpu.core.config import load_config_dict

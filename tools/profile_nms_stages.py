@@ -33,6 +33,11 @@ def timed(fn, *args, iters=5):
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from unav_yolyolva_tpu.ops.nms import batched_nms, group_by_class

@@ -47,6 +47,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
