@@ -59,6 +59,8 @@ def main():
 
     mask = jnp.ones((b, t), bool)
     rows = []
+    # NB: inits MUST be jitted — eager execution routes every op through
+    # the axon tunnel at ~100 ms/op, which turns init into tens of minutes
 
     # ---- alignment ------------------------------------------------------
     align = Alignment(video_dim=2048, audio_dim=128, num_hidden=c,
@@ -66,14 +68,14 @@ def main():
     vis, aud = mk((b, t, 2048)), mk((b, t, 128))
     msc, mse, mlb = (jnp.zeros((b, t)), jnp.zeros((b, t)),
                      jnp.zeros((b, t, ncls)))
-    ap = align.init(key, vis, aud, mask, mask, mse, msc, mlb)
+    ap = jax.jit(align.init)(key, vis, aud, mask, mask, mse, msc, mlb)
     f = jax.jit(lambda p, v, a: align.apply(p, v, a, mask, mask, mse, msc, mlb))
     rows.append(("alignment", timed(f, ap, vis, aud)))
 
     # ---- backbone (stem + pyramid + 2B fusion) --------------------------
     bb = ConvTransformerBackbone(max_len=t, use_abs_pe=True, dtype=dtype)
     xv, xa = mk((b, t, c)), mk((b, t, c))
-    bp = bb.init(key, xv, xa, mask)
+    bp = jax.jit(bb.init)(key, xv, xa, mask)
     fb = jax.jit(lambda p, v, a: bb.apply(p, v, a, mask))
     rows.append(("backbone (all)", timed(fb, bp, xv, xa)))
 
@@ -85,7 +87,7 @@ def main():
     guide = mk((b2, t, c))
     gmask = jnp.ones((b2, t), bool)
     fm = FusionModule(c, seq_len=t, dtype=dtype)
-    fp = fm.init(key, pyr, guide, pyr_masks, gmask)
+    fp = jax.jit(fm.init)(key, pyr, guide, pyr_masks, gmask)
     ff = jax.jit(
         lambda p, py, g: fm.apply(p, py, g, pyr_masks, gmask, train=False)
     )
@@ -95,11 +97,11 @@ def main():
     feats = [mk((b, tl, 2 * c)) for tl in lvl_ts]
     fmasks = [jnp.ones((b, tl), bool) for tl in lvl_ts]
     ch = ClsHead(feat_dim=c, num_classes=ncls, dtype=dtype)
-    cp = ch.init(key, feats, fmasks)
+    cp = jax.jit(ch.init)(key, feats, fmasks)
     fc = jax.jit(lambda p, x: ch.apply(p, x, fmasks))
     rh = RegHead(feat_dim=c, num_classes=ncls, fpn_levels=6, class_aware=True,
                  dtype=dtype)
-    rp = rh.init(key, feats, fmasks)
+    rp = jax.jit(rh.init)(key, feats, fmasks)
     fr = jax.jit(lambda p, x: rh.apply(p, x, fmasks))
     rows.append(("cls head", timed(fc, cp, feats)))
     rows.append(("reg head", timed(fr, rp, feats)))
@@ -113,7 +115,7 @@ def main():
         x_in = mk((b2, tl, 2 * c))
         m_in = jnp.ones((b2, tl), bool)
         g_in = mk((b2, c, t))
-        pp = csp.init(key, x_in, g_in, m_in)
+        pp = jax.jit(csp.init)(key, x_in, g_in, m_in)
         fcsp = jax.jit(lambda p, x, g: csp.apply(p, x, g, m_in, train=False))
         rows.append((f"one CSP layer T={tl} (2B)", timed(fcsp, pp, x_in, g_in)))
 
