@@ -59,6 +59,11 @@ def main():
 
     mask = jnp.ones((b, t), bool)
     rows = []
+
+    def record(name, ms):
+        # print incrementally so a timeout mid-run keeps the finished rows
+        rows.append((name, ms))
+        print(f"{name:26s}: {ms * 1e3:8.2f} ms", flush=True)
     # NB: inits MUST be jitted — eager execution routes every op through
     # the axon tunnel at ~100 ms/op, which turns init into tens of minutes
 
@@ -70,14 +75,14 @@ def main():
                      jnp.zeros((b, t, ncls)))
     ap = jax.jit(align.init)(key, vis, aud, mask, mask, mse, msc, mlb)
     f = jax.jit(lambda p, v, a: align.apply(p, v, a, mask, mask, mse, msc, mlb))
-    rows.append(("alignment", timed(f, ap, vis, aud)))
+    record("alignment", timed(f, ap, vis, aud))
 
     # ---- backbone (stem + pyramid + 2B fusion) --------------------------
     bb = ConvTransformerBackbone(max_len=t, use_abs_pe=True, dtype=dtype)
     xv, xa = mk((b, t, c)), mk((b, t, c))
     bp = jax.jit(bb.init)(key, xv, xa, mask)
     fb = jax.jit(lambda p, v, a: bb.apply(p, v, a, mask))
-    rows.append(("backbone (all)", timed(fb, bp, xv, xa)))
+    record("backbone (all)", timed(fb, bp, xv, xa))
 
     # ---- fusion module alone at 2B --------------------------------------
     b2 = 2 * b
@@ -91,7 +96,7 @@ def main():
     ff = jax.jit(
         lambda p, py, g: fm.apply(p, py, g, pyr_masks, gmask, train=False)
     )
-    rows.append(("fusion alone (2B)", timed(ff, fp, pyr, guide)))
+    record("fusion alone (2B)", timed(ff, fp, pyr, guide))
 
     # ---- heads ----------------------------------------------------------
     feats = [mk((b, tl, 2 * c)) for tl in lvl_ts]
@@ -103,8 +108,8 @@ def main():
                  dtype=dtype)
     rp = jax.jit(rh.init)(key, feats, fmasks)
     fr = jax.jit(lambda p, x: rh.apply(p, x, fmasks))
-    rows.append(("cls head", timed(fc, cp, feats)))
-    rows.append(("reg head", timed(fr, rp, feats)))
+    record("cls head", timed(fc, cp, feats))
+    record("reg head", timed(fr, rp, feats))
 
     # ---- single CSP layers at extreme levels ----------------------------
     for tl in (224, 7):
@@ -117,11 +122,9 @@ def main():
         g_in = mk((b2, c, t))
         pp = jax.jit(csp.init)(key, x_in, g_in, m_in)
         fcsp = jax.jit(lambda p, x, g: csp.apply(p, x, g, m_in, train=False))
-        rows.append((f"one CSP layer T={tl} (2B)", timed(fcsp, pp, x_in, g_in)))
+        record(f"one CSP layer T={tl} (2B)", timed(fcsp, pp, x_in, g_in))
 
     print(f"B={b} dtype={dt} device={jax.devices()[0].device_kind}")
-    for name, ms in rows:
-        print(f"{name:26s}: {ms * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ Parity notes (vs `/root/reference/libs/utils/train_utils.py:63-194` and
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Sequence
+import os
+from typing import Any, Dict, NamedTuple, Sequence
 
 import jax
 import optax
@@ -103,11 +104,108 @@ def make_schedule(opt_cfg: Dict, num_iters_per_epoch: int):
     return optax.piecewise_constant_schedule(base_lr, steps)
 
 
+class FlatAdamWState(NamedTuple):
+    """Optimizer state of `flat_adamw`: moments as single raveled vectors."""
+
+    count: Any
+    mu: Any
+    nu: Any
+
+
+def flat_adamw(schedule, *, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-8, weight_decay: float = 0.0,
+               mask_tree=None, clip_norm: float = 0.0):
+    """AdamW (+ global-norm clip) computed on ONE raveled parameter vector.
+
+    Numerically the same algorithm as
+    `chain(clip_by_global_norm, optax.adamw)` — same clip rule, moment
+    updates, bias correction, decoupled masked weight decay, and the same
+    schedule step indexing (first update uses schedule(0)) — but the
+    per-leaf tree_maps become a handful of full-width vector ops. The
+    optax chain lowers to ~8-10 tiny XLA ops per parameter leaf (~3,900
+    for this model's ~300 leaves); at ~2 us of fixed per-op cost that is
+    ~8 ms per step on a v5e (measured, tools/bisect_step.py B=8: the
+    `grad -> grad+opt` delta), a batch-size-independent latency floor
+    that dominates the reference protocol's batch-8 train step. The flat
+    form replaces it with ~15 elementwise ops over the 12M-element
+    vector plus one concatenate (ravel) and the unravel slices.
+
+    The decay mask is folded in as a constant 0/1 vector built at trace
+    time from the static `mask_tree` (python bools), so XLA constant-
+    folds it — nothing is computed eagerly through the dev tunnel.
+    Returned updates come back as the usual pytree (unravel), so the
+    `tx.update(grads, state, params) -> (updates, state)` contract and
+    everything downstream (TrainState, donation, checkpointing of the
+    state pytree) is unchanged; only the opt_state LAYOUT differs
+    (FlatAdamWState with raveled mu/nu instead of per-leaf trees), which
+    matters only to checkpoints written by older builds
+    (UNAV_FUSED_OPT=0 restores the optax layout for those).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    import jax.numpy as jnp
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatAdamWState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jnp.zeros_like(flat),
+            nu=jnp.zeros_like(flat),
+        )
+
+    def update(grads, state, params=None):
+        g, unravel = ravel_pytree(grads)
+        if clip_norm > 0:
+            # optax.clip_by_global_norm: identity below the threshold,
+            # g * clip/||g|| above
+            g_norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            g = jnp.where(g_norm < clip_norm, g, g * (clip_norm / g_norm))
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * jnp.square(g)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1 ** c)
+        nu_hat = nu / (1.0 - b2 ** c)
+        upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+        if weight_decay and mask_tree is not None and params is not None:
+            p, _ = ravel_pytree(params)
+            mask_flat, _ = ravel_pytree(jax.tree.map(
+                lambda m, leaf: jnp.full(leaf.shape, 1.0 if m else 0.0,
+                                         leaf.dtype),
+                mask_tree, params,
+            ))
+            upd = upd + weight_decay * mask_flat * p
+        # optax scale_by_schedule indexing: first update sees schedule(0)
+        lr = schedule(state.count)
+        upd = (-lr) * upd
+        return unravel(upd), FlatAdamWState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(params, opt_cfg: Dict, num_iters_per_epoch: int,
                    clip_grad_l2norm: float = 1.0):
-    """optax chain: global-norm clip -> AdamW/SGD with decay mask."""
+    """optax chain: global-norm clip -> AdamW/SGD with decay mask.
+
+    AdamW defaults to the fused flat-vector implementation (`flat_adamw`);
+    UNAV_FUSED_OPT=0 restores the optax per-leaf chain (same numbers,
+    different opt_state layout — needed to resume checkpoints written by
+    older builds, and the A/B arm for tools/bench_flat_opt_ab.py).
+    """
     schedule = make_schedule(opt_cfg, num_iters_per_epoch)
     mask = decay_mask(params)
+
+    if opt_cfg["type"] == "AdamW" and os.environ.get(
+            "UNAV_FUSED_OPT", "1") != "0":
+        return flat_adamw(
+            schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=opt_cfg["weight_decay"],
+            mask_tree=mask,
+            clip_norm=clip_grad_l2norm,
+        ), schedule
 
     if opt_cfg["type"] == "AdamW":
         opt = optax.adamw(
