@@ -300,7 +300,7 @@ def measure_train(n_windows, iters, peak):
     params = jax.jit(
         lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
     )(rng, init_inputs)
-    tx, _ = make_optimizer(params, cfg["opt"], 100)
+    tx, _ = make_optimizer(params, cfg["opt"], 100, local_batch=b)
     state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
                                mesh=mesh)
     train_step = make_train_step(model, tx, cfg, mesh=mesh)

@@ -71,7 +71,7 @@ def build(batch, dtype_name, fused_csp):
     params = jax.jit(
         lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
     )(rng, init_inputs)
-    tx, _ = make_optimizer(params, cfg["opt"], 100)
+    tx, _ = make_optimizer(params, cfg["opt"], 100, local_batch=b)
     state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
                                mesh=mesh)
     # UNAV_FUSED_CSP is read from os.environ at TRACE time (fusion.py),

@@ -100,7 +100,8 @@ def main():
         lambda k, d: model.init({"params": k, "droppath": k}, d, train=False)
     )(rng, inputs)
     tx, _ = make_optimizer(params, cfg["opt"], 100,
-                           clip_grad_l2norm=cfg["train_cfg"]["clip_grad_l2norm"])
+                           clip_grad_l2norm=cfg["train_cfg"]["clip_grad_l2norm"],
+                           local_batch=b)
 
     loss_kwargs = dict(
         class_aware=True, loss_weight=1.0,

@@ -147,6 +147,7 @@ def main(args):
     tx, schedule = make_optimizer(
         params, cfg["opt"], len(train_batcher),
         clip_grad_l2norm=cfg["train_cfg"]["clip_grad_l2norm"],
+        local_batch=cfg["loader"]["batch_size"] // num_shards,
     )
     state = create_train_state(params, tx, cfg["train_cfg"]["init_loss_norm"],
                                mesh=mesh)

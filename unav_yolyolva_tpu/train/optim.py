@@ -184,19 +184,38 @@ def flat_adamw(schedule, *, b1: float = 0.9, b2: float = 0.999,
 
 
 def make_optimizer(params, opt_cfg: Dict, num_iters_per_epoch: int,
-                   clip_grad_l2norm: float = 1.0):
+                   clip_grad_l2norm: float = 1.0, local_batch: int = None):
     """optax chain: global-norm clip -> AdamW/SGD with decay mask.
 
-    AdamW defaults to the fused flat-vector implementation (`flat_adamw`);
-    UNAV_FUSED_OPT=0 restores the optax per-leaf chain (same numbers,
-    different opt_state layout — needed to resume checkpoints written by
-    older builds, and the A/B arm for tools/bench_flat_opt_ab.py).
+    AdamW auto-selects between two numerically-equal implementations
+    (tests/test_flat_optim.py pins the equivalence):
+
+      * `flat_adamw` (raveled-vector) — wins in the latency-bound
+        small-batch regime and is drastically steadier: same-window
+        interleaved A/B on v5e bf16 (tools/bench_flat_opt_ab.py) at the
+        reference protocol's B=8 measured median 292.9 vs 270.0 clips/s
+        (+8.5%) with a 1.5% round spread vs the optax arm's 82%.
+      * the optax per-leaf chain — wins at the large-batch flagship
+        config: at B=64 the flat form measured 589.1 vs 644.8 (-8.6%);
+        the grad-ravel concatenate holds every per-leaf gradient buffer
+        live at once, and at large batch that extra HBM pressure
+        perturbs XLA's schedule of the whole step.
+
+    `local_batch` (per-device rows) picks the side: <= 16 -> flat,
+    else optax; None (callers that never hit a train step, and tests)
+    defaults to flat. UNAV_FUSED_OPT=1/0 force-overrides either way
+    (=0 also restores the opt_state layout older checkpoints need).
     """
     schedule = make_schedule(opt_cfg, num_iters_per_epoch)
     mask = decay_mask(params)
 
-    if opt_cfg["type"] == "AdamW" and os.environ.get(
-            "UNAV_FUSED_OPT", "1") != "0":
+    knob = os.environ.get("UNAV_FUSED_OPT")
+    if knob is not None:
+        use_flat = knob != "0"
+    else:
+        use_flat = local_batch is None or local_batch <= 16
+
+    if opt_cfg["type"] == "AdamW" and use_flat:
         return flat_adamw(
             schedule,
             b1=0.9,
