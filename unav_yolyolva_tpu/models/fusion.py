@@ -131,7 +131,17 @@ class MaxSigmoidCSPLayer(nn.Module):
         # train default off then; UNAV_CSP_BWD=xla restores it).
         # UNAV_FUSED_CSP=never falls back to the XLA composition (which
         # still uses the per-block fused MHCA kernels) without touching
-        # the MHCA knob; =eval restores the round-3 eval-only default.
+        # the MHCA knob; =eval restores the round-3 eval-only default;
+        # =always skips the small-batch train gate below.
+        #
+        # Small-batch TRAIN gate (round 5): the recompute backward's win
+        # inverts when the grid collapses — at the reference protocol's
+        # batch 8 (rows = 2B = 16 here) the kernel measured -1.5% on the
+        # full step (tools/bench_smallbatch_ab.py, interleaved medians
+        # 292.1 ON vs 296.5 OFF, bf16), so the train path requires
+        # rows >= 32 (B >= 16; +3% measured at B=64). The eval forward
+        # kernel keeps no batch gate (+25% at B=64, forward-only cost
+        # structure).
         import os
 
         from .blocks import FUSED_MHCA
@@ -141,6 +151,7 @@ class MaxSigmoidCSPLayer(nn.Module):
             FUSED_MHCA != "never"
             and fused_csp != "never"
             and (not train or fused_csp != "eval")
+            and (not train or x.shape[0] >= 32 or fused_csp == "always")
             and self.embed_channels == mid
             and mid % 128 == 0
             # the kernel hardcodes the flagship structure: exactly 3 MHCA
