@@ -98,19 +98,30 @@ def test_batcher_train_shapes(synth):
 
 
 def test_batcher_eval_fixed_shape(synth):
-    """Eval batches are all padded to exactly max_seq_len (the reference
-    collate rounds short eval batches UP to max_seq_len, data_utils.py:
-    171-173, and its fusion guide width is hard-wired to it) — so the eval
-    step compiles once. Longer inputs are truncated (the reference crashes
-    on them)."""
+    """All-short eval batches are padded to exactly max_seq_len (the
+    reference collate rounds short eval batches UP to max_seq_len,
+    data_utils.py:171-173, and its fusion guide width is hard-wired to
+    it) — so they share ONE compiled eval shape. A batch containing an
+    input LONGER than max_seq_len rounds up to the next max_div_factor
+    multiple instead (data_utils.py:174-176; runnable counterpart of the
+    reference's intended-but-crashing pad-up path — see
+    tests/test_long_eval.py for the model-side coverage)."""
     cfg = make_cfg(synth, max_seq_len=64, batch_size=3)
+    # eval round-up quantum = largest pyramid stride (make_batcher)
+    max_div = cfg["model"]["scale_factor"] ** cfg["model"]["backbone_arch"][-1]
     ds = UnAV100Dataset(False, ("validation",), **cfg["dataset"])
     b = make_batcher(ds, cfg, False, seed=0)
     batches = list(b)
     assert sum(x["visual"].shape[0] for x in batches) == len(ds)
+    from unav_yolyolva_tpu.geometry.points import eval_seq_len
+
     for batch in batches:
-        assert batch["visual"].shape[1] == 64
-        assert batch["mask"].shape[1] == 64
+        longest = int(batch["mask"].sum(axis=1).max())
+        want = eval_seq_len(max(longest, 64), 64, max_div)
+        assert batch["visual"].shape[1] == want
+        assert batch["mask"].shape[1] == want
+        if longest <= 64:
+            assert want == 64
 
 
 def test_batcher_early_exit_joins_producers(synth):

@@ -40,36 +40,48 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_SWEEP.json"))
     args = ap.parse_args()
 
-    eval_batches = [64, 128] if args.quick else [64, 128, 256]
-    train_batches = [8, 32] if args.quick else [8, 16, 32, 64]
-    dtypes = ["float32", "bfloat16"]
+    if args.quick:
+        eval_pts = [("float32", 64), ("bfloat16", 64)]
+        train_pts = [("bfloat16", 8), ("bfloat16", 64)]
+    else:
+        # priority order: headline / recently-changed configs first, so a
+        # deadline kill still leaves the artifact's important points fresh
+        # (the JSON is rewritten after EVERY point for the same reason)
+        eval_pts = [("float32", 64), ("bfloat16", 64), ("bfloat16", 128),
+                    ("float32", 128), ("bfloat16", 256), ("float32", 256)]
+        train_pts = [("bfloat16", 8), ("bfloat16", 64), ("bfloat16", 16),
+                     ("bfloat16", 32), ("float32", 8), ("float32", 64),
+                     ("float32", 16), ("float32", 32)]
     records = {"eval": [], "train": []}
 
-    for dt in dtypes:
-        for b in eval_batches:
-            r = run_json(
-                [sys.executable, os.path.join(ROOT, "bench.py")],
-                {"BENCH_BATCH": str(b), "BENCH_DTYPE": dt,
-                 "BENCH_ITERS": "10",
-                 # train points come from bench_train.py below; bench.py's
-                 # own embedded train metric would triple each eval point
-                 "BENCH_TRAIN": "0"},
-            )
-            records["eval"].append(r)
-            print(f"eval  b={b:4d} {dt:9s}: {r['value']:8.1f} videos/s  "
-                  f"mfu={r.get('mfu_vs_bf16_peak')}", flush=True)
-        for b in train_batches:
-            r = run_json(
-                [sys.executable, os.path.join(ROOT, "tools/bench_train.py"),
-                 "--batch", str(b), "--iters", "10"],
-                {"BENCH_DTYPE": dt},
-            )
-            records["train"].append(r)
-            print(f"train b={b:4d} {dt:9s}: {r['value']:8.1f} clips/s  "
-                  f"mfu={r.get('mfu_vs_bf16_peak')}", flush=True)
+    def flush_out():
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
+            f.write("\n")
 
-    with open(args.out, "w") as f:
-        json.dump(records, f, indent=1)
+    for dt, b in eval_pts:
+        r = run_json(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            {"BENCH_BATCH": str(b), "BENCH_DTYPE": dt,
+             "BENCH_ITERS": "10",
+             # train points come from bench_train.py below; bench.py's
+             # own embedded train metric would triple each eval point
+             "BENCH_TRAIN": "0"},
+        )
+        records["eval"].append(r)
+        flush_out()
+        print(f"eval  b={b:4d} {dt:9s}: {r['value']:8.1f} videos/s  "
+              f"mfu={r.get('mfu_vs_bf16_peak')}", flush=True)
+    for dt, b in train_pts:
+        r = run_json(
+            [sys.executable, os.path.join(ROOT, "tools/bench_train.py"),
+             "--batch", str(b), "--iters", "10"],
+            {"BENCH_DTYPE": dt},
+        )
+        records["train"].append(r)
+        flush_out()
+        print(f"train b={b:4d} {dt:9s}: {r['value']:8.1f} clips/s  "
+              f"mfu={r.get('mfu_vs_bf16_peak')}", flush=True)
 
     print("\n| mode | batch | dtype | throughput | MFU (vs bf16 peak) |")
     print("|---|---|---|---|---|")
