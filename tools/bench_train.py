@@ -111,22 +111,28 @@ def main():
     except Exception:
         pass
 
-    # warm up TWO steps: the first execution flushes the axon runtime's
-    # deferred work so the loop below measures steady state
-    for _ in range(2):
-        state, losses = compiled(state, db, rng)
-        float(losses["final_loss"])
-
-    # pipelined: steps chain through `state` and execute in submission
-    # order; fence ONCE at the end. Syncing the loss every step would
-    # serialize a host round-trip per step (~100 ms through the dev
-    # tunnel) — the real train loop only syncs every print_freq steps.
-    t0 = time.perf_counter()
+    # warm up one FULL window: two lone steps proved not enough on the
+    # axon runtime (a sweep point landed 24x slow when deferred compile
+    # work drained inside the timed region)
     for _ in range(args.iters):
         state, losses = compiled(state, db, rng)
     float(losses["final_loss"])
-    dt = time.perf_counter() - t0
-    cps = b * args.iters / dt
+
+    # pipelined: steps chain through `state` and execute in submission
+    # order; fence ONCE per window. Syncing the loss every step would
+    # serialize a host round-trip per step (~100 ms through the dev
+    # tunnel) — the real train loop only syncs every print_freq steps.
+    # Median of BENCH_WINDOWS windows (default 3), like bench.py.
+    import statistics
+    windows = []
+    for _ in range(int(os.environ.get("BENCH_WINDOWS", "3"))):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, losses = compiled(state, db, rng)
+        float(losses["final_loss"])
+        windows.append(b * args.iters / (time.perf_counter() - t0))
+    cps = statistics.median(windows)
+    dt = b * args.iters / cps
 
     PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
     peak = PEAK_BF16.get(jax.devices()[0].device_kind)
@@ -144,7 +150,9 @@ def main():
         "batch": b,
         "devices": mesh.devices.size,
         "compute_dtype": os.environ.get("BENCH_DTYPE", "float32"),
-        "protocol": "device_throughput_h2d_excluded",
+        "protocol": "device_throughput_h2d_excluded_median_of_windows",
+        "windows": [round(w, 1) for w in windows],
+        "spread_pct": round((max(windows) - min(windows)) / cps * 100, 2),
         "flops_per_clip": (
             round(flops_per_clip / 1e9, 3) if flops_per_clip else None
         ),
